@@ -1,0 +1,221 @@
+"""Pure-Python FarmHash Fingerprint64 + the Data Commons base32 dcid encoding.
+
+The reference generates content-hash dcids with Guava's
+``farmHashFingerprint64`` and a custom 32-char alphabet
+(DcidGenerator.java:29-36,354-375 in /root/reference). ``xxhash64``
+(Spark's built-in) is NOT bit-compatible, so matching the reference's
+dcids requires the real FarmHash Fingerprint64. This module implements
+it from the public FarmHash algorithm (Geoff Pike, google/farmhash,
+MIT license) — the ``farmhashna::Hash64`` / ``Fingerprint64`` variant —
+in pure Python, validated bit-for-bit against Guava on the Spark JVM
+(tests/test_farmhash.py).
+
+Used inside vectorized pandas UDFs (import_spark.functions.dcids); the
+hash itself is per-string Python, but it sits behind Arrow batching and
+is only applied to the (small) distinct key-string column, never the
+raw data.
+"""
+
+from __future__ import annotations
+
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+_K0 = 0xC3A5C85C97CB3127
+_K1 = 0xB492B66FBE98F273
+_K2 = 0x9AE16A3B2F90404F
+
+
+def _rotr(v: int, s: int) -> int:
+    return ((v >> s) | (v << (64 - s))) & _MASK
+
+
+def _shift_mix(v: int) -> int:
+    return (v ^ (v >> 47)) & _MASK
+
+
+def _fetch64(s: bytes, i: int) -> int:
+    return int.from_bytes(s[i : i + 8], "little")
+
+
+def _fetch32(s: bytes, i: int) -> int:
+    return int.from_bytes(s[i : i + 4], "little")
+
+
+def _hash_len_16(u: int, v: int, mul: int) -> int:
+    a = ((u ^ v) * mul) & _MASK
+    a ^= a >> 47
+    b = ((v ^ a) * mul) & _MASK
+    b ^= b >> 47
+    return (b * mul) & _MASK
+
+
+def _hash_len_0_to_16(s: bytes) -> int:
+    n = len(s)
+    if n >= 8:
+        mul = (_K2 + n * 2) & _MASK
+        a = (_fetch64(s, 0) + _K2) & _MASK
+        b = _fetch64(s, n - 8)
+        c = (_rotr(b, 37) * mul + a) & _MASK
+        d = ((_rotr(a, 25) + b) * mul) & _MASK
+        return _hash_len_16(c, d, mul)
+    if n >= 4:
+        mul = (_K2 + n * 2) & _MASK
+        a = _fetch32(s, 0)
+        return _hash_len_16((n + (a << 3)) & _MASK, _fetch32(s, n - 4), mul)
+    if n > 0:
+        a = s[0]
+        b = s[n >> 1]
+        c = s[n - 1]
+        y = (a + (b << 8)) & _MASK
+        z = (n + (c << 2)) & _MASK
+        return (_shift_mix(((y * _K2) & _MASK) ^ ((z * _K0) & _MASK)) * _K2) & _MASK
+    return _K2
+
+
+def _hash_len_17_to_32(s: bytes) -> int:
+    n = len(s)
+    mul = (_K2 + n * 2) & _MASK
+    a = (_fetch64(s, 0) * _K1) & _MASK
+    b = _fetch64(s, 8)
+    c = (_fetch64(s, n - 8) * mul) & _MASK
+    d = (_fetch64(s, n - 16) * _K2) & _MASK
+    return _hash_len_16(
+        (_rotr((a + b) & _MASK, 43) + _rotr(c, 30) + d) & _MASK,
+        (a + _rotr((b + _K2) & _MASK, 18) + c) & _MASK,
+        mul,
+    )
+
+
+def _hash_len_33_to_64(s: bytes) -> int:
+    n = len(s)
+    mul = (_K2 + n * 2) & _MASK
+    a = (_fetch64(s, 0) * _K2) & _MASK
+    b = _fetch64(s, 8)
+    c = _fetch64(s, n - 8)
+    d = _fetch64(s, n - 16)
+    c_mul = (c * mul) & _MASK
+    d_k2 = (d * _K2) & _MASK
+    y = (_rotr((a + b) & _MASK, 43) + _rotr(c_mul, 30) + d_k2) & _MASK
+    z = _hash_len_16(y, (a + _rotr((b + _K2) & _MASK, 18) + c_mul) & _MASK, mul)
+    e = (_fetch64(s, 16) * mul) & _MASK
+    f = _fetch64(s, 24)
+    g = ((y + _fetch64(s, n - 32)) * mul) & _MASK
+    h = ((z + _fetch64(s, n - 24)) * mul) & _MASK
+    return _hash_len_16(
+        (_rotr((e + f) & _MASK, 43) + _rotr(g, 30) + h) & _MASK,
+        (e + _rotr((f + a) & _MASK, 18) + g) & _MASK,
+        mul,
+    )
+
+
+def _weak_hash_len_32_with_seeds_vals(
+    w: int, x: int, y: int, z: int, a: int, b: int
+) -> tuple[int, int]:
+    a = (a + w) & _MASK
+    b = _rotr((b + a + z) & _MASK, 21)
+    c = a
+    a = (a + x) & _MASK
+    a = (a + y) & _MASK
+    b = (b + _rotr(a, 44)) & _MASK
+    return (a + z) & _MASK, (b + c) & _MASK
+
+
+def _weak_hash_len_32_with_seeds(s: bytes, pos: int, a: int, b: int) -> tuple[int, int]:
+    return _weak_hash_len_32_with_seeds_vals(
+        _fetch64(s, pos),
+        _fetch64(s, pos + 8),
+        _fetch64(s, pos + 16),
+        _fetch64(s, pos + 24),
+        a,
+        b,
+    )
+
+
+def fingerprint64(data: bytes | str) -> int:
+    """FarmHash Fingerprint64 of ``data`` as an unsigned 64-bit int.
+
+    Bit-compatible with Guava ``Hashing.farmHashFingerprint64()``
+    (what DcidGenerator.java:371-375 uses).
+    """
+    s = data.encode("utf-8") if isinstance(data, str) else data
+    n = len(s)
+    if n <= 16:
+        return _hash_len_0_to_16(s)
+    if n <= 32:
+        return _hash_len_17_to_32(s)
+    if n <= 64:
+        return _hash_len_33_to_64(s)
+
+    seed = 81
+    x = seed & _MASK
+    y = (seed * _K1 + 113) & _MASK
+    z = (_shift_mix((y * _K2 + 113) & _MASK) * _K2) & _MASK
+    v0 = v1 = 0
+    w0 = w1 = 0
+    x = (x * _K2 + _fetch64(s, 0)) & _MASK
+
+    # Process 64-byte chunks, all but the last 64 bytes.
+    end = ((n - 1) // 64) * 64
+    last64 = n - 64
+    pos = 0
+    while pos != end:
+        x = (_rotr((x + y + v0 + _fetch64(s, pos + 8)) & _MASK, 37) * _K1) & _MASK
+        y = (_rotr((y + v1 + _fetch64(s, pos + 48)) & _MASK, 42) * _K1) & _MASK
+        x ^= w1
+        y = (y + v0 + _fetch64(s, pos + 40)) & _MASK
+        z = (_rotr((z + w0) & _MASK, 33) * _K1) & _MASK
+        v0, v1 = _weak_hash_len_32_with_seeds(s, pos, (v1 * _K1) & _MASK, (x + w0) & _MASK)
+        w0, w1 = _weak_hash_len_32_with_seeds(
+            s, pos + 32, (z + w1) & _MASK, (y + _fetch64(s, pos + 16)) & _MASK
+        )
+        x, z = z, x
+        pos += 64
+
+    mul = (_K1 + ((z & 0xFF) << 1)) & _MASK
+    pos = last64
+    w0 = (w0 + ((n - 1) & 63)) & _MASK
+    v0 = (v0 + w0) & _MASK
+    w0 = (w0 + v0) & _MASK
+    x = (_rotr((x + y + v0 + _fetch64(s, pos + 8)) & _MASK, 37) * mul) & _MASK
+    y = (_rotr((y + v1 + _fetch64(s, pos + 48)) & _MASK, 42) * mul) & _MASK
+    x ^= (w1 * 9) & _MASK
+    y = (y + v0 * 9 + _fetch64(s, pos + 40)) & _MASK
+    z = (_rotr((z + w0) & _MASK, 33) * mul) & _MASK
+    v0, v1 = _weak_hash_len_32_with_seeds(s, pos, (v1 * mul) & _MASK, (x + w0) & _MASK)
+    w0, w1 = _weak_hash_len_32_with_seeds(
+        s, pos + 32, (z + w1) & _MASK, (y + _fetch64(s, pos + 16)) & _MASK
+    )
+    x, z = z, x
+    return _hash_len_16(
+        (_hash_len_16(v0, w0, mul) + _shift_mix(y) * _K0 + z) & _MASK,
+        (_hash_len_16(v1, w1, mul) + x) & _MASK,
+        mul,
+    )
+
+
+# Data Commons dcid base32: 32-char alphabet, 5-bit little-endian groups
+# of the unsigned 64-bit fingerprint (DcidGenerator.java:29-36,354-369).
+DCID_BASE32_ALPHABET = "0123456789bcdfghjklmnpqrstvwxyze"
+
+
+def base32_long_id(fp: int) -> str:
+    """Encode an unsigned 64-bit fingerprint the way DcidGenerator does:
+    emit 5 bits at a time (low bits first) until the value is zero."""
+    fp &= _MASK
+    out = [DCID_BASE32_ALPHABET[fp & 0x1F]]
+    fp >>= 5
+    while fp:
+        out.append(DCID_BASE32_ALPHABET[fp & 0x1F])
+        fp >>= 5
+    return "".join(out)
+
+
+def long_id(key_string: str) -> str:
+    """farmhash64 → base32, the core content-hash id (DcidGenerator.getLongId)."""
+    return base32_long_id(fingerprint64(key_string))
+
+
+def facet_id(key_string: str) -> str:
+    """Unsigned-decimal farmhash64, the TimeSeries facet id encoding
+    (pipeline/.../TimeSeries.java:170-191)."""
+    return str(fingerprint64(key_string))

@@ -1,0 +1,57 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The defaults encode the scale posture demanded by the target (100 TB /
+10^12 turns on a 1000-executor cluster): AQE on (runtime re-plan +
+skew-join splitting, the Spark analogue of the reference's hand-rolled
+shard salting, SpannerClient.java:305-316), adaptive shuffle partition
+coalescing, Arrow for every pandas UDF boundary, and broadcast joins
+for dimension tables (the reference's Recon/existence caches,
+ExternalIdResolver.java:57-152).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "import_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for this engine.
+
+    On a real cluster the same configs apply; only ``master`` changes
+    (spark-submit provides it). Shuffle partitions default to 2x cores
+    locally; on a cluster AQE coalesces from a high initial number, so
+    the static setting matters less.
+    """
+    cores = cores or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        b = b.master(f"local[{cores}]")
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
