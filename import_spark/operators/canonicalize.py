@@ -1,0 +1,120 @@
+"""Stage 5 — canonicalize: connected components over sameAs edges.
+
+The north-rule canonicalization: duplicate node ids asserted equal by
+``sameAs`` statements are merged — every component maps to its minimum
+dcid, and all subjects/objects are rewritten. The iterative DataFrame
+loop mirrors the reference's own level-capped recursive closure
+(pipeline/workflow/.../linked_edge_generator.py:87-128) and the
+resolver loop shape (McfResolver.java:39-128).
+
+Algorithm: iterative **min-label propagation with pointer jumping** —
+each round every node takes the minimum label over itself, its
+neighbors, and its current label's label (path halving), so rounds
+needed is O(log(diameter)); each round shuffles only the (small)
+sameAs node/edge set, never the triple table. The (huge) triple table
+is touched exactly twice at the end — one join per side, broadcast when
+the component map is small. (For adversarially deep alias graphs the
+large-star/small-star variant of Kiveris et al., SoCC'14, is the
+drop-in upgrade; sameAs alias chains here are shallow.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_CC_ROUNDS = 25
+
+
+def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+    """edges(src, dst) → mapping(node, canon) with canon = min id in component.
+
+    Only nodes appearing in an edge are returned (singletons map to
+    themselves implicitly and need no rewrite).
+    """
+    # undirected; both directions, dedupe
+    e = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .dropDuplicates(["node"])
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # neighbor minimum
+        nbr = (
+            e.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("a", "node")
+        )
+        # pointer jumping: label(label(node))
+        jump = labels.join(
+            labels.select(F.col("node").alias("label"), F.col("label").alias("jump_min")),
+            "label",
+            "left",
+        ).select("node", "jump_min")
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .join(jump, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_min", "label"),
+                    F.coalesce("jump_min", "label"),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("canon")).filter(
+        F.col("node") != F.col("canon")
+    )
+
+
+def canonicalize_triples(
+    triples: DataFrame, components: DataFrame, broadcast_map: bool = True
+) -> DataFrame:
+    """Rewrite subj and RESOLVED_REF objects to their component canon.
+
+    ``sameAs`` self-loops created by the rewrite are dropped.
+    """
+    cmap = F.broadcast(components) if broadcast_map else components
+    out = (
+        triples.join(
+            cmap.select(F.col("node").alias("subj"), F.col("canon").alias("_sc")),
+            "subj",
+            "left",
+        )
+        .join(
+            cmap.select(F.col("node").alias("obj"), F.col("canon").alias("_oc")),
+            "obj",
+            "left",
+        )
+        .withColumn("subj", F.coalesce("_sc", "subj"))
+        .withColumn(
+            "obj",
+            F.when(
+                F.col("obj_type") == "RESOLVED_REF", F.coalesce("_oc", "obj")
+            ).otherwise(F.col("obj")),
+        )
+        .drop("_sc", "_oc")
+    )
+    return out.filter(
+        ~((F.col("pred") == "sameAs") & (F.col("subj") == F.col("obj")))
+    )

@@ -1,0 +1,63 @@
+"""Stage 3 — link: external-id mentions → dcids via broadcast join.
+
+Re-expresses the reference's resolution join (J1-J3):
+- ExternalIdResolver.java:57-152 — collect external ids, resolve
+  against the Recon dictionary, map node→dcid.
+- PropertyResolver.java:100-127 — first-candidate-wins + divergence
+  detection.
+- DcidGenerator.forPlace (DcidGenerator.java:213-229) — fallback dcid
+  assignment ``<prefix>/<ext_id>`` for ids the dictionary misses.
+
+The dictionary is a small dimension → **broadcast hash join** (no
+shuffle of the big side; the skewed hot entity is harmless because a
+broadcast join has no key-partitioned reduce — the explicit salting the
+reference needs for Spanner writes, SpannerClient.java:305-316, is only
+required for shuffle joins; see operators/skew.py for that path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from import_spark import vocabulary as V
+
+
+def prepare_dictionary(dcid_dict: DataFrame) -> DataFrame:
+    """Dedupe candidate dcids per (prop, ext_id): deterministic
+    first-wins on sorted dcid (PropertyResolver.java:113 takes the
+    first candidate returned; we pin a deterministic order)."""
+    return dcid_dict.groupBy("prop", "ext_id").agg(
+        F.min("dcid").alias("dcid")
+    )
+
+
+def link_statements(extracted: DataFrame, dcid_dict: DataFrame) -> DataFrame:
+    """Resolve every EXT_ID row (TRIPLE objects and DEF targets) to a dcid.
+
+    Dictionary hit → mapped dcid; miss → priority-prefix fallback
+    ``<prefix>/<ext_id>`` (DcidGenerator.java:213-229). Returns the
+    input with EXT_ID rows rewritten to RESOLVED_REF.
+    """
+    dim = F.broadcast(prepare_dictionary(dcid_dict).withColumnRenamed("dcid", "_dict_dcid"))
+    prefix_expr = F.when(F.col("ext_prop") == "isoCode", F.lit("iso")).otherwise(F.col("ext_prop"))
+    linked = (
+        extracted.join(
+            dim,
+            on=(extracted["ext_prop"] == dim["prop"]) & (extracted["ext_id"] == dim["ext_id"]),
+            how="left",
+        )
+        .drop("prop")
+        .drop(dim["ext_id"])
+    )
+    is_ext = F.col("ext_prop").isNotNull()
+    resolved = F.coalesce(
+        F.col("_dict_dcid"), F.concat(prefix_expr, F.lit("/"), extracted["ext_id"])
+    )
+    return (
+        linked.withColumn("obj", F.when(is_ext, resolved).otherwise(F.col("obj")))
+        .withColumn(
+            "obj_type", F.when(is_ext, F.lit("RESOLVED_REF")).otherwise(F.col("obj_type"))
+        )
+        .drop("_dict_dcid")
+    )

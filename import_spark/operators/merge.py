@@ -1,0 +1,87 @@
+"""Stage 6 — merge/materialize: graph dedupe + subject-hash layout.
+
+Re-expresses the reference's distributed node combine (A1,
+PipelineUtils.java:315-432 ``combineGraphNodes``): union all statement
+sources, dedupe values per (subject, predicate), drop the generic
+``typeOf: Place``/``Thing`` when a more specific type exists
+(PipelineUtils.java:390-405), and write partitioned by subject hash
+(the Edge-table layout, pipeline/.../Edge.java:10-23 + salted keys
+SpannerClient.java:305-316).
+
+Single-shuffle distinct: rows are hash-repartitioned by ``subj`` and
+sorted within partitions by (subj, pred, obj); because every duplicate
+of (subj, pred, obj) shares ``subj``, a partition-local lag filter is a
+*global* distinct — one shuffle instead of the two a naive
+``repartition(subj) + dropDuplicates`` plan would produce. Catalyst's
+partial aggregation gives map-side combining automatically (the
+reference's per-bundle 100k dedup cache, GraphReader.java:202-231).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GENERIC_TYPES = ("Place", "Thing")
+
+
+def dedupe_triples(triples: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Distinct (subj, pred, obj_type, obj) with ONE shuffle, clustered by subj."""
+    parts = [F.col("subj")]
+    t = (
+        triples.repartition(num_partitions, *parts)
+        if num_partitions
+        else triples.repartition(*parts)
+    )
+    w = Window.partitionBy("subj").orderBy("pred", "obj_type", "obj", "conv_id", "turn_idx")
+    return (
+        t.withColumn("_pp", F.lag("pred").over(w))
+        .withColumn("_pt", F.lag("obj_type").over(w))
+        .withColumn("_po", F.lag("obj").over(w))
+        .filter(
+            F.col("_pp").isNull()
+            | (F.col("pred") != F.col("_pp"))
+            | (F.col("obj_type") != F.col("_pt"))
+            | (F.col("obj") != F.col("_po"))
+        )
+        .drop("_pp", "_pt", "_po")
+    )
+
+
+def drop_generic_types(triples: DataFrame) -> DataFrame:
+    """Drop ``typeOf: Place|Thing`` rows when the subject has a more
+    specific type (PipelineUtils.java:390-405 value-dedupe rule)."""
+    is_type = F.col("pred") == "typeOf"
+    specific = (
+        triples.filter(is_type & ~F.col("obj").isin(*GENERIC_TYPES))
+        .select("subj")
+        .dropDuplicates(["subj"])
+        .withColumn("_has_specific", F.lit(True))
+    )
+    out = triples.join(specific, "subj", "left")
+    return out.filter(
+        ~(is_type & F.col("obj").isin(*GENERIC_TYPES) & (F.col("_has_specific") == True))  # noqa: E712
+    ).drop("_has_specific")
+
+
+def materialize(
+    triples: DataFrame,
+    path: str,
+    num_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Write the triple table partitioned by subject hash bucket.
+
+    On Iceberg this is ``writeTo(...).overwritePartitions()`` with a
+    ``bucket(subj)`` partition transform (S9/S10 mapping); on plain
+    parquet we emit an explicit bucket column. Dynamic partition
+    overwrite gives the reference's delete-before-write idempotence
+    (SpannerClient.java:92-137).
+    """
+    (
+        triples.withColumn("subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(num_buckets)))
+        .repartition("subj_bucket")
+        .write.mode(mode)
+        .partitionBy("subj_bucket")
+        .parquet(path)
+    )
