@@ -59,8 +59,9 @@ def drop_generic_types(triples: DataFrame) -> DataFrame:
         .withColumn("_has_specific", F.lit(True))
     )
     out = triples.join(specific, "subj", "left")
+    has_specific = F.coalesce(F.col("_has_specific"), F.lit(False))
     return out.filter(
-        ~(is_type & F.col("obj").isin(*GENERIC_TYPES) & (F.col("_has_specific") == True))  # noqa: E712
+        ~(is_type & F.col("obj").isin(*GENERIC_TYPES) & has_specific)
     ).drop("_has_specific")
 
 

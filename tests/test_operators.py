@@ -1,0 +1,149 @@
+"""Operator-level golden tests: extract / link / resolve / canonicalize /
+merge on hand-written fixtures (FIXTURES.md F4-F6 shapes)."""
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from import_spark.operators.canonicalize import canonicalize_triples, connected_components
+from import_spark.operators.extract import extract_statements
+from import_spark.operators.link import link_statements
+from import_spark.operators.merge import dedupe_triples, drop_generic_types
+from import_spark.operators.resolve import resolve_locals
+from import_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+TS = datetime.datetime(2025, 1, 1)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, "user", t, "", TS) for c, i, t in rows], schema=TRANSCRIPT_SCHEMA
+    )
+
+
+def _dict(spark):
+    return spark.createDataFrame(
+        [("isoCode", "US", "country/USA"), ("wikidataId", "Q142", "country/FRA")],
+        ["prop", "ext_id", "dcid"],
+    )
+
+
+def _extract_link(spark, rows):
+    return link_statements(extract_statements(_turns(spark, rows)), _dict(spark))
+
+
+def test_extract_base_and_mentions(spark):
+    rows = [("c1", 0, 'we looked at iso:US and note "hi there" and metric is 4.5')]
+    out = _extract_link(spark, rows).collect()
+    preds = {(r.pred, r.obj_type, r.obj) for r in out if r.kind == "TRIPLE"}
+    assert ("mentions", "RESOLVED_REF", "country/USA") in preds
+    assert ("says", "TEXT", "hi there") in preds
+    assert ("value", "NUMBER", "4.5") in preds
+    assert ("typeOf", "RESOLVED_REF", "ConversationTurn") in preds
+    assert ("role", "TEXT", "user") in preds
+
+
+def test_link_fallback_and_direct_dcid(spark):
+    rows = [("c1", 0, "we looked at iso:ZZ"), ("c1", 1, "we looked at geoId/06")]
+    out = _extract_link(spark, rows).filter(F.col("pred") == "mentions").collect()
+    objs = {r.obj for r in out}
+    # dictionary miss → priority-prefix fallback (DcidGenerator.java:213-229)
+    assert objs == {"iso/ZZ", "geoId/06"}
+
+
+def test_resolve_chain_cycle_orphan_divergence(spark):
+    rows = [
+        # chain: E1 → E2 → dcid (resolves in 2 rounds)
+        ("c1", 0, "define l:E1 = l:E2"),
+        ("c1", 1, "define l:E2 = dcid:country/BRA"),
+        ("c1", 2, "see l:E1"),
+        # cycle: E3 ↔ E4 (quarantined, McfResolver.java:92-110)
+        ("c1", 3, "define l:E3 = l:E4"),
+        ("c1", 4, "define l:E4 = l:E3"),
+        ("c1", 5, "see l:E3"),
+        # orphan use (McfResolver.java:262-281)
+        ("c1", 6, "see l:E9"),
+        # divergence (PropertyResolver.java:114-127)
+        ("c2", 0, "define l:E5 = iso:US"),
+        ("c2", 1, "define l:E5 = wikidataId:Q142"),
+        ("c2", 2, "see l:E5"),
+        # same local, same resolved target twice → fine
+        ("c3", 0, "define l:E6 = iso:US"),
+        ("c3", 1, "define l:E6 = iso:US"),
+        ("c3", 2, "see l:E6"),
+    ]
+    res = resolve_locals(_extract_link(spark, rows))
+    refs = {
+        (r.conv_id, r.obj)
+        for r in res.resolved.filter(F.col("pred") == "references").collect()
+    }
+    assert ("c1", "country/BRA") in refs
+    assert ("c3", "country/USA") in refs
+    errs = {(r.conv_id, r.obj, r.error) for r in res.failed.filter(F.col("pred") == "references").collect()}
+    assert ("c1", "l:E3", "Resolution_IrreplaceableLocalRef") in errs
+    assert ("c1", "l:E9", "Resolution_OrphanLocalReference") in errs
+    assert ("c2", "l:E5", "Resolution_DivergingDcids") in errs
+
+
+def test_connected_components_and_rewrite(spark):
+    # components of size 2 and a 5-node chain (FIXTURES.md F6)
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g")],
+        ["src", "dst"],
+    )
+    comp = {(r.node, r.canon) for r in connected_components(edges).collect()}
+    assert ("b", "a") in comp
+    for n in "defg":
+        assert (n, "c") in comp
+    triples = spark.createDataFrame(
+        [
+            ("b", "typeOf", "RESOLVED_REF", "City", "c1", 0),
+            ("x", "mentions", "RESOLVED_REF", "g", "c1", 0),
+            ("x", "says", "TEXT", "g", "c1", 0),  # TEXT obj untouched
+            ("b", "sameAs", "RESOLVED_REF", "a", "c1", 0),  # self-loop after rewrite → dropped
+        ],
+        ["subj", "pred", "obj_type", "obj", "conv_id", "turn_idx"],
+    )
+    out = canonicalize_triples(triples, connected_components(edges))
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("a", "typeOf", "City") in rows
+    assert ("x", "mentions", "c") in rows
+    assert ("x", "says", "g") in rows
+    assert not any(p == "sameAs" for _, p, _ in rows)
+
+
+def test_dedupe_single_shuffle(spark):
+    triples = spark.createDataFrame(
+        [("s", "p", "RESOLVED_REF", "o", "c1", i) for i in range(5)]
+        + [("s", "p2", "TEXT", "o", "c1", 0), ("s2", "p", "TEXT", "o", "c1", 0)],
+        ["subj", "pred", "obj_type", "obj", "conv_id", "turn_idx"],
+    )
+    out = dedupe_triples(triples)
+    assert out.count() == 3
+    # exactly one exchange in the plan (repartition feeds the window sort)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_drop_generic_types(spark):
+    triples = spark.createDataFrame(
+        [
+            ("n1", "typeOf", "RESOLVED_REF", "Place", "c", 0),
+            ("n1", "typeOf", "RESOLVED_REF", "City", "c", 0),
+            ("n2", "typeOf", "RESOLVED_REF", "Place", "c", 0),
+        ],
+        ["subj", "pred", "obj_type", "obj", "conv_id", "turn_idx"],
+    )
+    rows = {(r.subj, r.obj) for r in drop_generic_types(triples).collect()}
+    # Place dropped only when a more specific type exists (PipelineUtils.java:390-405)
+    assert rows == {("n1", "City"), ("n2", "Place")}
+
+
+def test_malformed_complex_is_error_row(spark):
+    rows = [("c1", 0, "range [Years 10"), ("c1", 1, "range [LatLong 99 99 99 99]")]
+    out = extract_statements(_turns(spark, rows))
+    errs = out.filter(F.col("kind") == "ERROR").collect()
+    assert all(e.pred == "MCF_MalformedComplexValue" for e in errs)
+    assert len(errs) == 2
