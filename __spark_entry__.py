@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: KG construction over a transcript table that
+              blends the sf0.001 ``documents`` rows with deterministic
+              synthetic conversations, returning the deduplicated
+              canonical triple table.
+``queries`` — one entry per implemented SURVEY.md §2 operator
+              (import_spark/queries.py).
+``oracle_sql`` — DuckDB twins for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -13,26 +15,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from import_spark.plans.kg_pipeline import run_pipeline
+    from import_spark.sources.transcripts import dcid_dictionary, generate_transcripts
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    # treat each document as a single-turn conversation, blended with
+    # synthetic multi-turn transcripts (same input schema)
+    doc_turns = docs.select(
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+    )
+    tr = generate_transcripts(spark, 200).unionByName(doc_turns)
+    res = run_pipeline(spark, tr, dcid_dictionary(spark), verify_text_invariant=False)
+    return res.triples.select("subj", "pred", "obj_type", "obj")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from import_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from import_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

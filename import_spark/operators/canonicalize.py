@@ -26,11 +26,21 @@ from pyspark.sql import functions as F
 MAX_CC_ROUNDS = 25
 
 
-def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = MAX_CC_ROUNDS,
+    edge_partitions: int | None = 1,
+) -> DataFrame:
     """edges(src, dst) → mapping(node, canon) with canon = min id in component.
 
     Only nodes appearing in an edge are returned (singletons map to
     themselves implicitly and need no rewrite).
+
+    ``edge_partitions`` pins the working partition count for the
+    fixpoint loop: sameAs edge sets are orders of magnitude smaller than
+    the statement table, so the default (1) makes every round a
+    single-task job locally; pass None (AQE decides) or a higher number
+    when the alias graph itself is large.
     """
     # undirected; both directions, dedupe
     e = (
@@ -38,8 +48,10 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
-        .localCheckpoint()
     )
+    if edge_partitions:
+        e = e.coalesce(edge_partitions)
+    e = e.localCheckpoint()
     labels = (
         e.select(F.col("a").alias("node"))
         .dropDuplicates(["node"])

@@ -7,16 +7,21 @@ definition chains (``l:E1 = l:E2 = dcid:X``) resolve by iterating a
 self-join to fixpoint; cycles and orphan refs are quarantined into a
 failed table with error categories (McfResolver.java:262-281,92-110).
 
-Divergence: a local defined with ≥2 distinct resolved targets inside
+Divergence: a local defined with ≥2 distinct immediate targets inside
 one conversation is an error and the local is quarantined
 (PropertyResolver.java:114-127 analogue).
 
-Scale: all joins key on ``(conv_id, local)`` — resolution state never
-leaves the conversation, so a repartition by ``conv_id`` colocates the
-whole loop; rounds are bounded (chain depth ≤ MAX_ROUNDS mirrors the
-reference's level-capped recursion, linked_edge_generator.py:110-112);
-each round ends with ``localCheckpoint`` to cut lineage
-(McfResolver snapshot-per-round precedent, McfResolver.java:163-180).
+Scale design:
+- The def table is tiny relative to the statement table (bounded
+  locals per conversation), so the fixpoint loop runs on a
+  coalesced DataFrame with ``localCheckpoint`` per round (lineage cut,
+  McfResolver snapshot-per-round precedent, McfResolver.java:163-180);
+  rounds are bounded like the reference's level-capped recursion
+  (linked_edge_generator.py:110-112).
+- The final rewrite join is **size-adaptive**: the resolved map is
+  broadcast when it fits (one narrow pass over the statements),
+  otherwise it shuffle-joins on (conv_id, local) — only the filtered
+  local-ref statements shuffle, never the full statement table.
 """
 
 from __future__ import annotations
@@ -27,73 +32,80 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_ROUNDS = 20
+# broadcast the resolved map when it has fewer rows than this
+BROADCAST_MAP_MAX_ROWS = 5_000_000
+_SMALL_PARTS = 8
 
 
 @dataclass
 class ResolveResult:
     resolved: DataFrame  # TRIPLE rows with UNRESOLVED_REF rewritten
-    failed: DataFrame  # (conv_id, turn_idx, subj, pred, obj, error) quarantine
+    failed: DataFrame  # quarantine rows with `error` category
     rounds: int
 
 
 def _dedupe_defs(defs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Dedupe identical defs; flag divergent locals (≥2 distinct targets).
-
-    Returns (clean_defs, divergent_locals).
-    """
-    # target identity: resolved dcid for direct targets, local name for chained
-    d = defs.select(
-        "conv_id",
-        F.col("subj").alias("local"),
-        F.col("obj_type"),
-        F.col("obj").alias("target"),
-    ).dropDuplicates(["conv_id", "local", "target"])
+    """Dedupe identical defs; flag divergent locals (≥2 distinct targets)."""
+    d = (
+        defs.select(
+            "conv_id",
+            F.col("subj").alias("local"),
+            F.col("obj_type"),
+            F.col("obj").alias("target"),
+        )
+        .dropDuplicates(["conv_id", "local", "target"])
+        .coalesce(_SMALL_PARTS)
+    )
+    d = d.localCheckpoint()
     counts = d.groupBy("conv_id", "local").agg(F.count("*").alias("n_targets"))
-    divergent = counts.filter(F.col("n_targets") > 1).select("conv_id", "local")
-    clean = d.join(divergent, ["conv_id", "local"], "left_anti")
+    divergent = (
+        counts.filter(F.col("n_targets") > 1).select("conv_id", "local").localCheckpoint()
+    )
+    div_side = F.broadcast(divergent) if d.count() <= BROADCAST_MAP_MAX_ROWS else divergent
+    clean = d.join(div_side, ["conv_id", "local"], "left_anti")
     return clean, divergent
 
 
 def resolve_locals(linked: DataFrame, num_partitions: int | None = None) -> ResolveResult:
     """Resolve UNRESOLVED_REF objects using DEF records in ``linked``."""
-    linked = linked.cache()
     triples = linked.filter(F.col("kind") == "TRIPLE")
     defs = linked.filter(F.col("kind") == "DEF")
 
     clean, divergent = _dedupe_defs(defs)
-    if num_partitions:
-        clean = clean.repartition(num_partitions, "conv_id")
+    # one materialization: everything below derives from this small snapshot
+    clean = clean.localCheckpoint()
 
     # direct defs: target already a dcid; chained defs: target is l:X
     resolved_map = clean.filter(F.col("obj_type") == "RESOLVED_REF").select(
         "conv_id", "local", F.col("target").alias("dcid")
     )
-    pending = clean.filter(F.col("obj_type") == "UNRESOLVED_REF").select(
+    pending_all = clean.filter(F.col("obj_type") == "UNRESOLVED_REF").select(
         "conv_id", "local", F.col("target").alias("target_local")
     )
-    # drop self-cycles immediately
-    self_cyc = pending.filter(F.col("local") == F.col("target_local"))
-    pending = pending.filter(F.col("local") != F.col("target_local"))
+    # self-cycles are immediately irreplaceable
+    self_cyc = pending_all.filter(F.col("local") == F.col("target_local"))
+    pending = pending_all.filter(F.col("local") != F.col("target_local"))
 
     rounds = 0
-    resolved_map = resolved_map.localCheckpoint()
-    pending = pending.localCheckpoint()
+    map_rows = resolved_map.count()
     while rounds < MAX_ROUNDS:
         rounds += 1
-        step = pending.join(
-            resolved_map.select("conv_id", F.col("local").alias("target_local"), "dcid"),
-            ["conv_id", "target_local"],
-            "left",
-        )
+        lookup = resolved_map.select("conv_id", F.col("local").alias("target_local"), "dcid")
+        if map_rows <= BROADCAST_MAP_MAX_ROWS:
+            lookup = F.broadcast(lookup)
+        step = pending.join(lookup, ["conv_id", "target_local"], "left")
+        # one materialization per round; newly/pending are cheap filters of it
+        step = step.localCheckpoint()
         newly = step.filter(F.col("dcid").isNotNull()).select("conv_id", "local", "dcid")
-        n_new = newly.count()  # convergence counter (RoundResult.numUpdated analogue)
+        # convergence counter (RoundResult.numUpdated, McfResolver.java:139-148)
+        n_new = newly.count()
         if n_new == 0:
             break
-        resolved_map = resolved_map.unionByName(newly).localCheckpoint()
-        pending = (
-            step.filter(F.col("dcid").isNull())
-            .select("conv_id", "local", "target_local")
-            .localCheckpoint()
+        map_rows += n_new
+        # union keeps lineage shallow: every leg is a checkpointed snapshot
+        resolved_map = resolved_map.unionByName(newly)
+        pending = step.filter(F.col("dcid").isNull()).select(
+            "conv_id", "local", "target_local"
         )
 
     # leftovers: cycles or defs pointing at quarantined/undefined locals
@@ -101,16 +113,18 @@ def resolve_locals(linked: DataFrame, num_partitions: int | None = None) -> Reso
         self_cyc.select("conv_id", "local")
     )
 
-    # rewrite UNRESOLVED_REF objects in triples
+    # --- rewrite UNRESOLVED_REF objects in statements ---
     is_local = F.col("obj_type") == "UNRESOLVED_REF"
     locals_used = triples.filter(is_local)
     others = triples.filter(~is_local)
 
-    joined = locals_used.join(
-        resolved_map.select("conv_id", F.col("local").alias("obj"), "dcid"),
-        ["conv_id", "obj"],
-        "left",
-    )
+    rmap = resolved_map.select("conv_id", F.col("local").alias("obj"), "dcid")
+    if map_rows <= BROADCAST_MAP_MAX_ROWS:
+        rmap = F.broadcast(rmap)
+    # localCheckpoint (not cache): materialized once, auto-released by the
+    # context cleaner when unreferenced — no cross-run cache leak
+    joined = locals_used.join(rmap, ["conv_id", "obj"], "left").localCheckpoint()
+
     ok = (
         joined.filter(F.col("dcid").isNotNull())
         .withColumn("obj", F.col("dcid"))
@@ -121,24 +135,22 @@ def resolve_locals(linked: DataFrame, num_partitions: int | None = None) -> Reso
     failed_raw = joined.filter(F.col("dcid").isNull()).drop("dcid")
     failed = (
         failed_raw.join(
-            divergent.withColumn("err", F.lit("Resolution_DivergingDcids")).withColumnRenamed(
-                "local", "obj"
-            ),
+            F.broadcast(
+                divergent.withColumn("err", F.lit("Resolution_DivergingDcids"))
+            ).withColumnRenamed("local", "obj"),
             ["conv_id", "obj"],
             "left",
         )
         .join(
-            unresolved_defs.withColumn(
-                "err2", F.lit("Resolution_IrreplaceableLocalRef")
+            F.broadcast(
+                unresolved_defs.withColumn("err2", F.lit("Resolution_IrreplaceableLocalRef"))
             ).withColumnRenamed("local", "obj"),
             ["conv_id", "obj"],
             "left",
         )
         .withColumn(
             "error",
-            F.coalesce(
-                F.col("err"), F.col("err2"), F.lit("Resolution_OrphanLocalReference")
-            ),
+            F.coalesce(F.col("err"), F.col("err2"), F.lit("Resolution_OrphanLocalReference")),
         )
         .drop("err", "err2")
     )

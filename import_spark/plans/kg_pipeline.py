@@ -147,6 +147,8 @@ def run_pipeline(
     if check_generic_types:
         canon = drop_generic_types(canon)
     final = dedupe_triples(canon.select(*FINAL_COLS), num_partitions=num_partitions)
+    if not out_dir:
+        final = final.cache()
     if out_dir:
         materialize(final, os.path.join(out_dir, "triples"), num_buckets=num_buckets)
         final = spark.read.parquet(os.path.join(out_dir, "triples"))
@@ -154,6 +156,10 @@ def run_pipeline(
         failed.write.mode("overwrite").parquet(os.path.join(out_dir, "failed"))
         m.add("merge", "failed_cols", len(failed_cols))
     m.add("merge", "triples_final", final.count())
+    # release intermediates: final (and failed) are materialized by now
+    linked.unpersist()
+    resolved.unpersist()
+    components.unpersist()
 
     # invariant: input text unchanged under stable ordering
     dout = text_digest(transcripts) if verify_text_invariant else 0

@@ -1,0 +1,504 @@
+"""Driver-contract queries: SURVEY.md §2 operators re-expressed over the
+TPC-H-ish test tables, each with a DuckDB-oracle SQL twin.
+
+Every callable takes (spark, sf_dir) and returns a DataFrame whose
+column names/aliases match the oracle SQL exactly (the driver compares
+row-count + schema + order-insensitive value hash).
+
+Operator ↔ query map (ids from SURVEY.md §2):
+- A1  dedupe/canonicalization agg      → q_a1_dedupe
+- A2  series grouping                  → q_a2_series_group
+- A4  event count aggregation          → q_a4_event_counts
+- A5  series mean/stddev               → q_a5_series_stats
+- A6  3-sigma outliers                 → q_a6_outliers
+- A7  max fluctuation (lag window)     → q_a7_fluctuation
+- A10 duplicate-value conflict         → q_a10_dup_conflict
+- A13 percentile aggregation           → q_a13_percentiles
+- J1  broadcast entity-link join       → q_j1_broadcast_link
+- J5  differ (full-outer diff)         → q_j5_differ
+- J6  containment type join            → q_j6_containment
+- J7  hierarchy closure                → q_j7_closure
+- P1  typed-value classification       → q_p1_typed_values
+- P3/P4 namespace/quote strip          → q_p3_namespace_strip
+- P6  date validation                  → q_p6_date_buckets
+- P14 dcid sanity filter               → q_p14_dcid_sanity
+- P15 object-value key (sha256)        → q_p15_object_keys
+- C1  farmhash dcid (no SQL oracle)    → q_c1_farmhash_ids
+- O1/KG end-to-end (no SQL oracle)     → q_kg_pipeline
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------- aggregations ----------------
+
+
+def q_a1_dedupe(spark, sf):
+    """A1: distinct statements — map-side partial agg + one shuffle."""
+    return (
+        _t(spark, sf, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+
+
+SQL_A1 = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def q_a2_series_group(spark, sf):
+    """A2: SVObs-series grouping (PipelineUtils.java:250-306 analogue)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_A2 = """
+SELECT user_id, event_type, count(*) AS n_obs, min(ts) AS first_ts,
+       max(ts) AS last_ts, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_a4_event_counts(spark, sf):
+    """A4: per-entity per-period counts (events_importer.py:152-197)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id", F.date_trunc("month", "ts").alias("month"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+SQL_A4 = """
+SELECT user_id, date_trunc('month', ts) AS month, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_a5_series_stats(spark, sf):
+    """A5: per-series mean/stddev (StatChecker.java:443-463)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.round(F.stddev_pop("value"), 4).alias("std_value"),
+        )
+    )
+
+
+SQL_A5 = """
+SELECT event_type, round(avg(value), 4) AS mean_value,
+       round(stddev_pop(value), 4) AS std_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_a6_outliers(spark, sf):
+    """A6: 3-sigma outliers per series (StatChecker.java:414-436)."""
+    ev = _t(spark, sf, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_m"), F.stddev_pop("value").alias("_s")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("_m")) > 3 * F.col("_s"))
+        .select("event_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+SQL_A6 = """
+WITH s AS (SELECT event_type, avg(value) m, stddev_pop(value) sd FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, round(e.value, 4) AS value
+FROM events e JOIN s USING (event_type)
+WHERE abs(e.value - s.m) > 3 * s.sd
+"""
+
+
+def q_a7_fluctuation(spark, sf):
+    """A7: successive-point fluctuation buckets (StatChecker.java:467-512)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ev = _t(spark, sf, "events").withColumn("_prev", F.lag("value").over(w))
+    delta = F.abs(F.col("value") - F.col("_prev")) / F.abs(F.col("_prev"))
+    return (
+        ev.filter(F.col("_prev").isNotNull() & (F.abs(F.col("_prev")) > 0.001))
+        .withColumn(
+            "bucket",
+            F.when(delta > 5.0, F.lit("gt500")).when(delta > 1.0, F.lit("gt100")).otherwise(
+                F.lit("ok")
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_A7 = """
+WITH d AS (
+  SELECT event_type,
+         value,
+         lag(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN abs(value - prev)/abs(prev) > 5.0 THEN 'gt500'
+            WHEN abs(value - prev)/abs(prev) > 1.0 THEN 'gt100'
+            ELSE 'ok' END AS bucket,
+       count(*) AS n
+FROM d WHERE prev IS NOT NULL AND abs(prev) > 0.001
+GROUP BY 1, 2
+"""
+
+
+def q_a10_dup_conflict(spark, sf):
+    """A10: same-key different-value conflicts (StatChecker.java:596-633)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.countDistinct("l_quantity").alias("n_values"))
+        .filter(F.col("n_values") > 1)
+    )
+
+
+SQL_A10 = """
+SELECT l_orderkey, l_partkey, count(DISTINCT l_quantity) AS n_values
+FROM lineitem GROUP BY 1, 2 HAVING count(DISTINCT l_quantity) > 1
+"""
+
+
+def q_a13_percentiles(spark, sf):
+    """A13: quantile aggregation (stat_var_series_aggregator.py:196-455)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_A13 = """
+SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------- joins ----------------
+
+
+def q_j1_broadcast_link(spark, sf):
+    """J1: entity-linking broadcast join (ExternalIdResolver.java:57-152)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+SQL_J1 = """
+SELECT n_name, r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_j5_differ(spark, sf):
+    """J5: current-vs-previous full-outer diff (DifferUtils.java:97-140).
+
+    Snapshots: orders before/after the median date; key = o_orderkey;
+    diff on o_orderstatus.
+    """
+    o = _t(spark, sf, "orders")
+    cur = o.filter(F.year("o_orderdate") >= 1995).select(
+        "o_orderkey", F.col("o_orderstatus").alias("cur_v")
+    )
+    prev = o.filter(F.year("o_orderdate") < 1995).select(
+        "o_orderkey", F.col("o_orderstatus").alias("prev_v")
+    )
+    j = cur.join(prev, "o_orderkey", "full_outer")
+    return (
+        j.withColumn(
+            "diff_type",
+            F.when(F.col("prev_v").isNull(), "ADDED")
+            .when(F.col("cur_v").isNull(), "DELETED")
+            .when(F.col("cur_v") != F.col("prev_v"), "MODIFIED")
+            .otherwise("UNCHANGED"),
+        )
+        .groupBy("diff_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_J5 = """
+WITH cur AS (SELECT o_orderkey, o_orderstatus v FROM orders WHERE year(o_orderdate) >= 1995),
+     prev AS (SELECT o_orderkey, o_orderstatus v FROM orders WHERE year(o_orderdate) < 1995)
+SELECT CASE WHEN prev.v IS NULL THEN 'ADDED'
+            WHEN cur.v IS NULL THEN 'DELETED'
+            WHEN cur.v <> prev.v THEN 'MODIFIED'
+            ELSE 'UNCHANGED' END AS diff_type, count(*) AS n
+FROM cur FULL OUTER JOIN prev USING (o_orderkey)
+GROUP BY 1
+"""
+
+
+def q_j6_containment(spark, sf):
+    """J6: containment + MIN(parent) (place_aggregation_generator.py:131-184)."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.min("n_name").alias("first_nation"), F.count("*").alias("n_nations"))
+    )
+
+
+SQL_J6 = """
+SELECT r_name, min(n_name) AS first_nation, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY 1
+"""
+
+
+def q_j7_closure(spark, sf):
+    """J7: multi-level hierarchy closure (linked_edge_generator.py:87-128).
+
+    lineitem → orders → customer → nation: an iterative frontier loop
+    (bounded, localCheckpoint per level — the Spark shape of the
+    reference's 20-level recursion) materializing the leaf→ancestor
+    edge set; broadcast the small parent maps.
+    """
+    # level maps: child → parent
+    levels = [
+        _t(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("child"), F.col("o_custkey").alias("parent")
+        ),
+        _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("child"), F.col("c_nationkey").cast("long").alias("parent")
+        ),
+    ]
+    frontier = (
+        _t(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("leaf"), F.col("l_orderkey").alias("anc"))
+        .dropDuplicates(["leaf"])
+    )
+    for lvl in levels:
+        frontier = (
+            frontier.join(
+                F.broadcast(lvl.withColumnRenamed("child", "anc")), "anc"
+            )
+            .select("leaf", F.col("parent").alias("anc"))
+        )
+    return frontier.groupBy(F.col("anc").cast("int").alias("nationkey")).agg(
+        F.count("*").alias("n_leaves")
+    )
+
+
+SQL_J7 = """
+SELECT c.c_nationkey AS nationkey, count(*) AS n_leaves
+FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+# ---------------- scalar-function projections ----------------
+
+
+def q_p1_typed_values(spark, sf):
+    """P1: typed-value classification of raw tokens (McfParser.java:336-437),
+    applied to document text split into whitespace tokens — the native-
+    expression variant of the parse chain."""
+    toks = (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vt = (
+        F.when(F.col("tok").startswith('"'), "TEXT")
+        .when(F.col("tok").startswith("["), "COMPLEX_VALUE")
+        .when(F.col("tok").rlike("^(dcid|dcs|schema):"), "RESOLVED_REF")
+        .when(F.col("tok").startswith("l:"), "UNRESOLVED_REF")
+        .when(F.col("tok").rlike(r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"), "NUMBER")
+        .when(F.lower(F.col("tok")).isin("true", "false"), "NUMBER")
+        .otherwise("TEXT")
+    )
+    return toks.select(vt.alias("value_type")).groupBy("value_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_P1 = r"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT CASE
+  WHEN tok LIKE '"%' THEN 'TEXT'
+  WHEN tok LIKE '[%' THEN 'COMPLEX_VALUE'
+  WHEN regexp_matches(tok, '^(dcid|dcs|schema):') THEN 'RESOLVED_REF'
+  WHEN tok LIKE 'l:%' THEN 'UNRESOLVED_REF'
+  WHEN regexp_matches(tok, '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$') THEN 'NUMBER'
+  WHEN lower(tok) IN ('true','false') THEN 'NUMBER'
+  ELSE 'TEXT' END AS value_type,
+  count(*) AS n
+FROM toks WHERE tok <> ''
+GROUP BY 1
+"""
+
+
+def q_p3_namespace_strip(spark, sf):
+    """P3/P4: namespace strip as native regexp (McfUtil.java:164-171)."""
+    return _t(spark, sf, "part").select(
+        "p_partkey",
+        F.regexp_replace(F.col("p_type"), "^(dcid|dcs|schema):", "").alias("stripped_type"),
+        F.regexp_replace(F.col("p_brand"), '^"|"$', "").alias("stripped_brand"),
+    )
+
+
+SQL_P3 = """
+SELECT p_partkey, regexp_replace(p_type, '^(dcid|dcs|schema):', '', 'g') AS stripped_type,
+       regexp_replace(p_brand, '^"|"$', '', 'g') AS stripped_brand
+FROM part
+"""
+
+
+def q_p6_date_buckets(spark, sf):
+    """P6: date-granularity classification (StringUtil.java:42-59)."""
+    d = _t(spark, sf, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ds")
+    )
+    return (
+        d.select(F.length("ds").alias("date_len"))
+        .groupBy("date_len")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_P6 = """
+SELECT length(strftime(o_orderdate, '%Y-%m-%d')) AS date_len, count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_p14_dcid_sanity(spark, sf):
+    """P14: id charset/length sanity filter (McfChecker.java:579-603)."""
+    return (
+        _t(spark, sf, "documents")
+        .filter(
+            (F.length("source") <= 256)
+            & F.col("source").rlike(r"^[a-zA-Z0-9_/\-\.&:%\(\) ]+$")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_P14 = r"""
+SELECT source, count(*) AS n FROM documents
+WHERE length(source) <= 256 AND regexp_matches(source, '^[a-zA-Z0-9_/\-\.&:%\(\) ]+$')
+GROUP BY source
+"""
+
+
+def q_p15_object_keys(spark, sf):
+    """P15: literal-node key prefix16:sha256 (PipelineUtils.java:450-455)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring(F.trim(F.col("text")), 1, 16), F.lit(":"), F.sha2(F.trim(F.col("text")), 256)
+        ).alias("object_key"),
+    )
+
+
+SQL_P15 = """
+SELECT doc_id, substring(trim(text), 1, 16) || ':' || sha256(trim(text)) AS object_key
+FROM documents
+"""
+
+
+# ---------------- non-SQL-expressible (rows-only check) ----------------
+
+
+def q_c1_farmhash_ids(spark, sf):
+    """C1: farmhash64→base32 dcid assignment as a vectorized pandas UDF
+    (DcidGenerator.java:354-375). No DuckDB farmhash → rows-only check."""
+    from import_spark.functions.udfs import farmhash_dcid
+
+    return _t(spark, sf, "documents").select("doc_id", farmhash_dcid("text").alias("dcid"))
+
+
+def q_kg_pipeline(spark, sf):
+    """O1 + full KG construction on a deterministic transcript table
+    (the flagship; iterative resolver not SQL-expressible → rows-only)."""
+    from import_spark.plans.kg_pipeline import run_pipeline
+    from import_spark.sources.transcripts import dcid_dictionary, generate_transcripts
+
+    tr = generate_transcripts(spark, 100)
+    res = run_pipeline(
+        spark, tr, dcid_dictionary(spark), verify_text_invariant=False
+    )
+    return res.triples.select("subj", "pred", "obj_type", "obj")
+
+
+QUERIES = {
+    "a1_dedupe": q_a1_dedupe,
+    "a2_series_group": q_a2_series_group,
+    "a4_event_counts": q_a4_event_counts,
+    "a5_series_stats": q_a5_series_stats,
+    "a6_outliers": q_a6_outliers,
+    "a7_fluctuation": q_a7_fluctuation,
+    "a10_dup_conflict": q_a10_dup_conflict,
+    "a13_percentiles": q_a13_percentiles,
+    "j1_broadcast_link": q_j1_broadcast_link,
+    "j5_differ": q_j5_differ,
+    "j6_containment": q_j6_containment,
+    "j7_closure": q_j7_closure,
+    "p1_typed_values": q_p1_typed_values,
+    "p3_namespace_strip": q_p3_namespace_strip,
+    "p6_date_buckets": q_p6_date_buckets,
+    "p14_dcid_sanity": q_p14_dcid_sanity,
+    "p15_object_keys": q_p15_object_keys,
+    "c1_farmhash_ids": q_c1_farmhash_ids,
+    "kg_pipeline": q_kg_pipeline,
+}
+
+ORACLE_SQL = {
+    "a1_dedupe": SQL_A1,
+    "a2_series_group": SQL_A2,
+    "a4_event_counts": SQL_A4,
+    "a5_series_stats": SQL_A5,
+    "a6_outliers": SQL_A6,
+    "a7_fluctuation": SQL_A7,
+    "a10_dup_conflict": SQL_A10,
+    "a13_percentiles": SQL_A13,
+    "j1_broadcast_link": SQL_J1,
+    "j5_differ": SQL_J5,
+    "j6_containment": SQL_J6,
+    "j7_closure": SQL_J7,
+    "p1_typed_values": SQL_P1,
+    "p3_namespace_strip": SQL_P3,
+    "p6_date_buckets": SQL_P6,
+    "p14_dcid_sanity": SQL_P14,
+    "p15_object_keys": SQL_P15,
+    # c1_farmhash_ids / kg_pipeline: intentionally no SQL oracle
+}
