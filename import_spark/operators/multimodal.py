@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The actual codec step is STUBBED (no
+image/audio libraries in this container): ``decode_images`` raises
+NotImplementedError unless a deterministic fake decoder is requested —
+but the Spark-side plumbing (schema, batch shape, partitioning, UDF
+signatures) is real and tested, so swapping in PIL/ffmpeg later is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("meta_width", T.IntegerType(), True),
+        T.StructField("meta_height", T.IntegerType(), True),
+        T.StructField("meta_duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("sha16", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def synth_media(spark, n: int = 64, feature_dim: int = 8) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media/{i}".encode()).digest() * 4
+        kind = ["image", "audio", "video"][i % 3]
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 + i % 16 if kind == "image" else None,
+                48 + i % 16 if kind == "image" else None,
+                1000 * (1 + i % 30) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real codec: bytes → fixed-dim float
+    feature via chunked byte means. Replace with PIL/torchvision/ffmpeg."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    chunks = np.array_split(arr, dim)
+    return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
+
+
+def extract_features(
+    media: DataFrame, feature_dim: int = 8, decoder: str = "fake"
+) -> DataFrame:
+    """Decode + featurize each payload in Arrow batches.
+
+    ``decoder='real'`` is the integration point for an actual codec —
+    stubbed here (NotImplementedError) because the container ships no
+    image/audio libraries.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real decoders (PIL/ffmpeg) are not available in this container; "
+            "use decoder='fake' for the deterministic stand-in"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(bytes(p), feature_dim).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "sha16": pdf["payload"].map(
+                        lambda p: hashlib.sha256(bytes(p)).hexdigest()[:16]
+                    ),
+                    "feature": feats,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per planned frame (native
+    sequence/explode; the decode of each frame would live in
+    extract_features)."""
+    v = media.filter(F.col("kind") == "video")
+    return v.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta_duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

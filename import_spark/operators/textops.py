@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines.
+
+All the cheap-per-row analyses stay native column expressions
+(JVM/codegen); only language-ID uses a (vectorized) pandas UDF.
+
+- token_stats        whitespace + word-regex token counts, char stats
+- quality_score      length / punctuation / stopword / digit ratios
+- language_id        n-gram/stopword heuristic scorer (pandas UDF)
+- fingerprint        normalized-text content fingerprint (md5 + xxhash64)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = [
+    "the", "and", "of", "to", "in", "is", "was", "for", "with", "that",
+]
+# tiny per-language marker sets for the heuristic scorer
+LANG_MARKERS = {
+    "en": ["the", "and", "with", "that", "this", "from"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "es": ["el", "los", "las", "una", "está", "que"],
+}
+
+_WORD_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+"
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish word-regex tokens + char count."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(t), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(_WORD_RE), F.lit(0))).alias("word_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    longer docs with normal punctuation/stopword density score higher."""
+    t = F.col(text_col)
+    n = F.length(t)
+    n_punct = n - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    n_digit = n - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    words = F.split(F.lower(t), r"\s+")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_EN)))
+    punct_ratio = F.round(n_punct / F.greatest(n, F.lit(1)), 6)
+    digit_ratio = F.round(n_digit / F.greatest(n, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    # composite emitted as basis points via floor: pure IEEE-double math,
+    # reproducible bit-for-bit across engines (decimal round() is not —
+    # Spark rounds the shortest-decimal repr, DuckDB the binary double)
+    raw = (
+        0.4 * len_score
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.3 * (1 - F.least(punct_ratio * 10 + digit_ratio * 5, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.floor(raw * 10000).cast("long").alias("quality_bp"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language heuristic — vectorized pandas UDF; ties and
+    no-marker texts → 'und' (undetermined)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    markers = {k: set(v) for k, v in LANG_MARKERS.items()}
+
+    def _lang(texts: pd.Series) -> pd.Series:
+        def score(t):
+            if not isinstance(t, str):
+                return "und"
+            toks = t.lower().split()
+            best, best_n = "und", 0
+            for lang, ms in markers.items():
+                n = sum(1 for w in toks if w in ms)
+                if n > best_n:
+                    best, best_n = lang, n
+            return best
+
+        return texts.map(score)
+
+    lang_udf = pandas_udf(_lang, "string")
+    return df.select(F.col(id_col), lang_udf(F.col(text_col)).alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint over normalized text (lowercase, strip
+    punctuation, collapse whitespace): md5 hex + xxhash64."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+    )

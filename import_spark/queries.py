@@ -502,3 +502,178 @@ ORACLE_SQL = {
     "p15_object_keys": SQL_P15,
     # c1_farmhash_ids / kg_pipeline: intentionally no SQL oracle
 }
+
+
+# ---------------- training-data ops (dedup / similarity / text) ----------------
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy keep-min-id (operators/dedup.py)."""
+    from import_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_text_token_stats(spark, sf):
+    """Token counting: whitespace + word-regex (operators/textops.py)."""
+    from import_spark.operators.textops import token_stats
+
+    return token_stats(_t(spark, sf, "documents"))
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+', 0)) AS word_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf):
+    """Normalized-text md5 fingerprint (operators/textops.py). The
+    xxhash64 variant has no DuckDB twin, so only fp_md5 is compared."""
+    from import_spark.operators.textops import fingerprint
+
+    return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fp_md5")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp_md5
+FROM documents
+"""
+
+
+def q_sim_cosine_topk(spark, sf):
+    """Exact brute-force cosine top-k (operators/similarity.py); query
+    set = first 5 vectors, k=10."""
+    from pyspark.sql import functions as FF
+
+    from import_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", FF.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.filter(FF.col("vec_id") < 5).select(
+        FF.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(emb, queries_df, k=10)
+
+
+SQL_SIM_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+s AS (SELECT query_id, vec_id,
+             round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS cosine
+      FROM q CROSS JOIN embeddings)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM s) WHERE rank <= 10
+"""
+
+
+def q_dedup_minhash(spark, sf):
+    """MinHash+LSH near-dup clusters (xxhash64 → rows-only check)."""
+    from import_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_t(spark, sf, "documents"))
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash fingerprints (xxhash64 → rows-only check)."""
+    from import_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf, "documents"))
+
+
+def q_sim_lsh_ann(spark, sf):
+    """LSH-bucketed approximate NN (random hyperplanes → rows-only)."""
+    from pyspark.sql import functions as FF
+
+    from import_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries_df = emb.filter(FF.col("vec_id") < 5).select(
+        FF.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, queries_df, dim=dim, k=10)
+
+
+def q_text_language_id(spark, sf):
+    """Marker-based language ID (pandas UDF → rows-only)."""
+    from import_spark.operators.textops import language_id
+
+    return language_id(_t(spark, sf, "documents"))
+
+
+def q_text_quality(spark, sf):
+    """Quality scoring: length/punct/stopword/digit ratios."""
+    from import_spark.operators.textops import quality_score
+
+    return quality_score(_t(spark, sf, "documents"))
+
+
+SQL_QUALITY = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         string_split_regex(lower(text), '\s+') AS words
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         round(n_punct / greatest(n, 1), 6) AS punct_ratio,
+         round(n_digit / greatest(n, 1), 6) AS digit_ratio,
+         round(len(list_filter(words, w -> w IN ('the','and','of','to','in','is','was','for','with','that')))
+               / greatest(len(words), 1), 6) AS stopword_ratio,
+         least(n / 500.0e0, 1.0e0) AS len_score
+  FROM b
+)
+SELECT doc_id, punct_ratio, digit_ratio, stopword_ratio,
+       CAST(floor((0.4e0 * len_score + 0.3e0 * least(stopword_ratio * 5.0e0, 1.0e0)
+             + 0.3e0 * (1.0e0 - least(punct_ratio * 10.0e0 + digit_ratio * 5.0e0, 1.0e0))) * 10000.0e0) AS BIGINT) AS quality_bp
+FROM r
+"""
+
+
+def q_multimodal_features(spark, sf):
+    """Binary media column plumbing: deterministic fake decode over
+    mapInPandas (operators/multimodal.py; rows-only)."""
+    from import_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 64))
+
+
+QUERIES.update(
+    {
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_ann": q_sim_lsh_ann,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_features": q_multimodal_features,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "sim_cosine_topk": SQL_SIM_TOPK,
+        "text_token_stats": SQL_TOKEN_STATS,
+        "text_quality": SQL_QUALITY,
+        "text_fingerprint": SQL_FINGERPRINT,
+    }
+)

@@ -1,0 +1,116 @@
+"""Dedup / similarity / text / multimodal operator tests."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup of 1
+        (4, "completely different text about spark dataframes and shuffles here"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    from import_spark.operators.dedup import exact_dedup
+
+    out = {r.doc_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # doc 2 folded into doc 1 (min id wins)
+    assert 2 not in out and out[3] == 1
+
+
+def test_minhash_near_dup(docs):
+    from import_spark.operators.dedup import minhash_dedup
+
+    comp = {(r.doc_id, r.canon_id) for r in minhash_dedup(docs, k=3).collect()}
+    # docs 1/2/3 cluster together under canon 1; 4 and 5 don't
+    assert (2, 1) in comp and (3, 1) in comp
+    assert not any(d in (4, 5) for d, _ in comp)
+
+
+def test_simhash_similarity(docs):
+    from import_spark.operators.dedup import simhash
+
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical simhash
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # near-dup is closer than unrelated text
+    assert hamming(sigs[1], sigs[3]) < hamming(sigs[1], sigs[4])
+
+
+def test_ngram_jaccard(docs, spark):
+    from import_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = spark.createDataFrame([(1, 3), (1, 4)], ["id_a", "id_b"])
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    assert out[(1, 3)] > 0.5  # one word changed
+    assert (1, 4) not in out or out[(1, 4)] < 0.1
+
+
+def test_cosine_topk_bruteforce(spark):
+    from import_spark.operators.similarity import cosine_topk_bruteforce
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(100, [1.0, 0.0])], ["query_id", "embedding"])
+    out = cosine_topk_bruteforce(corpus, q, k=2)
+    rows = [(r.vec_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert rows == [(1, 1), (2, 2)]  # self first, near second
+
+
+def test_lsh_ann_recall(spark):
+    import numpy as np
+
+    from import_spark.operators.similarity import lsh_ann_topk
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(20)], ["vec_id", "embedding"]
+    )
+    q = spark.createDataFrame([(0, base[3].tolist())], ["query_id", "embedding"])
+    out = lsh_ann_topk(corpus, q, dim=16, k=3, n_planes=6)
+    top = out.orderBy("rank").first()
+    assert top.vec_id == 3  # identical vector lands in the same bucket → rank 1
+
+
+def test_text_ops(docs):
+    from import_spark.operators.textops import fingerprint, language_id, quality_score, token_stats
+
+    ts = {r.doc_id: (r.ws_tokens, r.word_tokens) for r in token_stats(docs).collect()}
+    assert ts[1] == (10, 10) and ts[5] == (1, 1)
+    q = {r.doc_id: r.quality_bp for r in quality_score(docs).collect()}
+    assert q[1] > q[5]  # longer + stopwords beats "short"
+    lang = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert lang[1] == "en" and lang[5] == "und"
+    fp = {r.doc_id: r.fp_md5 for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[4]
+
+
+def test_multimodal_plumbing(spark):
+    from import_spark.operators.multimodal import extract_features, frame_sample_plan, synth_media
+
+    media = synth_media(spark, 12, feature_dim=4)
+    feats = extract_features(media, feature_dim=4)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r.feature) == 4 for r in rows)
+    # deterministic: same media id → same sha16 across runs
+    again = {r.media_id: r.sha16 for r in extract_features(media, feature_dim=4).collect()}
+    assert all(again[r.media_id] == r.sha16 for r in rows)
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="real")
+    plan = frame_sample_plan(media, every_ms=1000)
+    assert plan.count() > 0
