@@ -325,4 +325,6 @@ def extract_statements(transcripts: DataFrame) -> DataFrame:
             if len(pdf):
                 yield _extract_batch(pdf)
 
-    return transcripts.mapInPandas(gen, schema=EXTRACT_SCHEMA)
+    # column-prune before the Python boundary: ts never crosses Arrow
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    return transcripts.select(*cols).mapInPandas(gen, schema=EXTRACT_SCHEMA)

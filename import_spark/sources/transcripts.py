@@ -262,7 +262,9 @@ def _gen_batch(pdf_iter: Iterator[pd.DataFrame], turns_per_conv: int) -> Iterato
             np.array(TOOLS, dtype=object)[(_mix(gidx, 104) % np.uint64(len(TOOLS))).astype(np.int64)],
             "",
         )
-        ts = base_ts + (conv_r * 86400 + turn * 60).astype("timedelta64[s]")
+        # bounded 10-year day cycle: stays valid at any conv count
+        # (ns-timestamp range caps out around year 2262)
+        ts = base_ts + ((conv_r % 3650) * 86400 + turn * 60).astype("timedelta64[s]")
         yield pd.DataFrame(
             {
                 "conv_id": pd.Series(conv_r).map(lambda c: f"conv/{c:010d}"),
