@@ -1,0 +1,113 @@
+"""StatChecker re-expression: series sanity checks as window/group aggs.
+
+The reference walks every (place, statvar) series and accumulates
+counters (StatChecker.java); here each check is one declarative
+DataFrame transform over the long-form observations table
+``(entity, variable, date, value, ...)`` (schema per
+simple/stats/db.py:100-113), returning the flagged rows — Catalyst
+fuses the shared window/shuffle across checks when composed.
+
+- A5 series_stats          mean/stddev per series     (StatChecker.java:443-463)
+- A6 sigma_outliers        |v-μ| > 3σ                 (:414-436)
+- A7 fluctuations          successive-delta buckets   (:467-512)
+- A8 date_granularity      mixed date-string lengths / month holes (:518-592)
+- A9 value_inconsistency   same date, different values (:357-412)
+- A10 is q_a10 (queries.py); invalid dates via P6
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SERIES_KEY = ["entity", "variable"]
+
+
+def series_stats(obs: DataFrame) -> DataFrame:
+    return obs.groupBy(*SERIES_KEY).agg(
+        F.count("*").alias("n_obs"),
+        F.avg("value").alias("mean_value"),
+        F.stddev_pop("value").alias("std_value"),
+    )
+
+
+def sigma_outliers(obs: DataFrame, n_sigma: float = 3.0) -> DataFrame:
+    """Flag points > n_sigma from the series mean (broadcast the stats)."""
+    stats = series_stats(obs).select(
+        *SERIES_KEY, F.col("mean_value").alias("_m"), F.col("std_value").alias("_s")
+    )
+    return (
+        obs.join(stats, SERIES_KEY)
+        .filter((F.col("_s") > 0) & (F.abs(F.col("value") - F.col("_m")) > n_sigma * F.col("_s")))
+        .drop("_m", "_s")
+        .withColumn("check", F.lit("StatsCheck_3SigmaOutlier"))
+    )
+
+
+def fluctuations(obs: DataFrame, big: float = 1.0, huge: float = 5.0) -> DataFrame:
+    """Successive-point percent change buckets (>100%, >500%)."""
+    w = Window.partitionBy(*SERIES_KEY).orderBy("date")
+    d = obs.withColumn("_prev", F.lag("value").over(w)).filter(
+        F.col("_prev").isNotNull() & (F.abs(F.col("_prev")) > 1e-9)
+    )
+    delta = F.abs(F.col("value") - F.col("_prev")) / F.abs(F.col("_prev"))
+    return (
+        d.withColumn(
+            "check",
+            F.when(delta > huge, F.lit("StatsCheck_MaxPercentFluctuationGreaterThan500"))
+            .when(delta > big, F.lit("StatsCheck_MaxPercentFluctuationGreaterThan100"))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("check").isNotNull())
+        .drop("_prev")
+    )
+
+
+def date_granularity_issues(obs: DataFrame) -> DataFrame:
+    """Series with mixed date-string granularities (distinct lengths) or
+    inconsistent month deltas between successive dates (holes)."""
+    mixed = (
+        obs.groupBy(*SERIES_KEY)
+        .agg(F.countDistinct(F.length("date")).alias("n_granularities"))
+        .filter(F.col("n_granularities") > 1)
+        .withColumn("check", F.lit("StatsCheck_InconsistentDateGranularity"))
+    )
+    w = Window.partitionBy(*SERIES_KEY).orderBy("date")
+    deltas = (
+        obs.select(*SERIES_KEY, F.to_date(F.when(F.length("date") == 4, F.concat(F.col("date"), F.lit("-01-01"))).when(F.length("date") == 7, F.concat(F.col("date"), F.lit("-01"))).otherwise(F.col("date"))).alias("_d"), "date")
+        .withColumn("_prev", F.lag("_d").over(Window.partitionBy(*SERIES_KEY).orderBy("_d")))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn("_months", F.round(F.months_between("_d", "_prev"), 0))
+    )
+    holes = (
+        deltas.groupBy(*SERIES_KEY)
+        .agg(F.countDistinct("_months").alias("n_deltas"))
+        .filter(F.col("n_deltas") > 1)
+        .withColumn("check", F.lit("StatsCheck_DataHoles"))
+    )
+    return mixed.select(*SERIES_KEY, "check").unionByName(holes.select(*SERIES_KEY, "check"))
+
+
+def value_inconsistencies(obs: DataFrame) -> DataFrame:
+    """Same (series, date) with conflicting values (StatChecker.java:596-633)."""
+    return (
+        obs.groupBy(*SERIES_KEY, "date")
+        .agg(F.countDistinct("value").alias("n_values"))
+        .filter(F.col("n_values") > 1)
+        .withColumn("check", F.lit("StatsCheck_Inconsistent_Values"))
+    )
+
+
+def run_all_checks(obs: DataFrame) -> DataFrame:
+    """All checks → one counters table (check, n) — the report.json
+    counter rollup (LogWrapper.java:50-68)."""
+    parts = [
+        sigma_outliers(obs).select("check"),
+        fluctuations(obs).select("check"),
+        date_granularity_issues(obs).select("check"),
+        value_inconsistencies(obs).select("check"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("check").agg(F.count("*").alias("n"))

@@ -677,3 +677,213 @@ ORACLE_SQL.update(
         "text_fingerprint": SQL_FINGERPRINT,
     }
 )
+
+
+# ---------------- stats checks / differ / existence / statvar ----------------
+
+
+def _obs_from_events(spark, sf):
+    """events → long-form observations with mixed-granularity date strings
+    (exercises the StatChecker date rules on the fixed test tables)."""
+    ev = _t(spark, sf, "events")
+    date = F.when(
+        F.col("event_id") % 10 == 0, F.date_format("ts", "yyyy")
+    ).otherwise(F.date_format("ts", "yyyy-MM-dd"))
+    return ev.select(
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("event_type").alias("variable"),
+        date.alias("date"),
+        F.col("value"),
+    )
+
+
+SQL_OBS_CTE = """
+obs AS (
+  SELECT CAST(user_id AS VARCHAR) AS entity, event_type AS variable,
+         CASE WHEN event_id % 10 = 0 THEN strftime(ts, '%Y')
+              ELSE strftime(ts, '%Y-%m-%d') END AS date,
+         value
+  FROM events
+)
+"""
+
+
+def q_a8_date_granularity(spark, sf):
+    """A8: mixed date-granularity series (StatChecker.java:518-558)."""
+    from import_spark.operators.stats import date_granularity_issues
+
+    out = date_granularity_issues(_obs_from_events(spark, sf))
+    return (
+        out.filter(F.col("check") == "StatsCheck_InconsistentDateGranularity")
+        .select("entity", "variable")
+    )
+
+
+SQL_A8 = (
+    "WITH " + SQL_OBS_CTE + """
+SELECT entity, variable FROM obs
+GROUP BY entity, variable HAVING count(DISTINCT length(date)) > 1
+"""
+)
+
+
+def q_a9_value_inconsistency(spark, sf):
+    """A9: same (series, date) conflicting values (StatChecker.java:596-633)."""
+    from import_spark.operators.stats import value_inconsistencies
+
+    return value_inconsistencies(_obs_from_events(spark, sf)).select(
+        "entity", "variable", "date", "n_values"
+    )
+
+
+SQL_A9 = (
+    "WITH " + SQL_OBS_CTE + """
+SELECT entity, variable, date, count(DISTINCT value) AS n_values
+FROM obs GROUP BY 1, 2, 3 HAVING count(DISTINCT value) > 1
+"""
+)
+
+
+def q_j8_existence(spark, sf):
+    """J8: referenced-but-absent check as an anti-join
+    (ExistenceChecker.java:63-107): customers with no orders."""
+    from import_spark.operators.existence import missing_references
+
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("obj"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("node"))
+    return missing_references(c, o).select(F.col("ref").alias("c_custkey"))
+
+
+SQL_J8 = """
+SELECT DISTINCT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_j5_differ_rows(spark, sf):
+    """J5 row-level differ output (DifferPipeline.java:18-19 schema)."""
+    from import_spark.operators.differ import diff_observations
+
+    ev = _t(spark, sf, "events")
+    obs = ev.select(
+        F.col("event_type").alias("variable"),
+        F.col("user_id").cast("string").alias("entity"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        "value",
+        "event_id",
+    )
+    cur = obs.filter(F.col("event_id") % 2 == 0).groupBy("variable", "entity", "date").agg(
+        F.round(F.sum("value"), 4).alias("value")
+    )
+    prev = obs.filter(F.col("event_id") % 3 == 0).groupBy("variable", "entity", "date").agg(
+        F.round(F.sum("value"), 4).alias("value")
+    )
+    return diff_observations(cur, prev)
+
+
+SQL_J5_ROWS = """
+WITH base AS (
+  SELECT event_type AS variable, CAST(user_id AS VARCHAR) AS entity,
+         strftime(ts, '%Y-%m-%d') AS date, value, event_id
+  FROM events
+), cur AS (
+  SELECT variable, entity, date, round(sum(value), 4) AS v FROM base
+  WHERE event_id % 2 = 0 GROUP BY 1, 2, 3
+), prev AS (
+  SELECT variable, entity, date, round(sum(value), 4) AS v FROM base
+  WHERE event_id % 3 = 0 GROUP BY 1, 2, 3
+), j AS (
+  SELECT coalesce(cur.variable, prev.variable) AS variable,
+         coalesce(cur.entity, prev.entity) AS entity,
+         coalesce(cur.date, prev.date) AS date,
+         cur.v AS vc, prev.v AS vp
+  FROM cur FULL OUTER JOIN prev
+    ON cur.variable = prev.variable AND cur.entity = prev.entity AND cur.date = prev.date
+)
+SELECT variable || ';' || entity || ';' || date || ';;;;' AS key_combined,
+       CAST(vc AS VARCHAR) AS value_combined_current,
+       CAST(vp AS VARCHAR) AS value_combined_previous,
+       CASE WHEN vp IS NULL THEN 'ADDED'
+            WHEN vc IS NULL THEN 'DELETED'
+            WHEN vc <> vp THEN 'MODIFIED' ELSE 'UNCHANGED' END AS diff_type
+FROM j WHERE (vp IS NULL OR vc IS NULL OR vc <> vp)
+"""
+
+
+def q_c8_sv_ids(spark, sf):
+    """C8: free-form name → sanitized statvar id (nodes.py:36-37)."""
+    from import_spark.operators.statvar import sanitize_sv_id
+
+    return _t(spark, sf, "part").select(
+        "p_partkey", sanitize_sv_id(F.col("p_name")).alias("sv_id")
+    )
+
+
+SQL_C8 = """
+SELECT p_partkey,
+       'custom/statvar_' || lower(regexp_replace(trim(p_name), '[^A-Za-z0-9]+', '_', 'g')) AS sv_id
+FROM part
+"""
+
+
+def q_t5_statvar_triples(spark, sf):
+    """T5: StatVar dataclass → triples with schema-less defaults
+    (simple/stats/data.py:113-178)."""
+    from import_spark.operators.statvar import statvar_triples
+
+    svs = _t(spark, sf, "part").select(
+        F.col("p_brand").alias("sv_id"), F.col("p_name").alias("name")
+    )
+    return statvar_triples(svs)
+
+
+SQL_T5 = """
+SELECT p_brand AS subject_id, 'typeOf' AS predicate, 'StatisticalVariable' AS object FROM part
+UNION ALL SELECT p_brand, 'name', p_name FROM part
+UNION ALL SELECT p_brand, 'populationType', 'Thing' FROM part
+UNION ALL SELECT p_brand, 'measuredProperty', p_brand FROM part
+UNION ALL SELECT p_brand, 'statType', 'measuredValue' FROM part
+"""
+
+
+def q_serving_stat_series(spark, sf):
+    """§2.10 serving surface: /stat/series lookup
+    (ObservationRepository.java:25-31) as a pushdown-friendly filter."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter((F.col("user_id") == 42) & (F.col("event_type") == "click"))
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("date"), F.round("value", 4).alias("value"))
+        .orderBy("date", "value")
+    )
+
+
+SQL_SERVING = """
+SELECT strftime(ts, '%Y-%m-%d') AS date, round(value, 4) AS value
+FROM events WHERE user_id = 42 AND event_type = 'click'
+ORDER BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "a8_date_granularity": q_a8_date_granularity,
+        "a9_value_inconsistency": q_a9_value_inconsistency,
+        "j8_existence": q_j8_existence,
+        "j5_differ_rows": q_j5_differ_rows,
+        "c8_sv_ids": q_c8_sv_ids,
+        "t5_statvar_triples": q_t5_statvar_triples,
+        "serving_stat_series": q_serving_stat_series,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "a8_date_granularity": SQL_A8,
+        "a9_value_inconsistency": SQL_A9,
+        "j8_existence": SQL_J8,
+        "j5_differ_rows": SQL_J5_ROWS,
+        "c8_sv_ids": SQL_C8,
+        "t5_statvar_triples": SQL_T5,
+        "serving_stat_series": SQL_SERVING,
+    }
+)

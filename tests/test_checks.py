@@ -1,0 +1,120 @@
+"""Stats checks (A5-A10), differ (J5), existence (J8), statvar synthesis
+(T5/C8) on hand-written fixtures (FIXTURES.md F7/F8 shapes)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def obs(spark):
+    # series exercising each StatChecker rule (FIXTURES.md F7)
+    rows = [
+        # normal series + one 3-sigma outlier and a >500% jump
+        *[("geoId/06", "Count_Person", f"201{i}", 100.0 + i) for i in range(8)],
+        ("geoId/06", "Count_Person", "2018", 100000.0),
+        # mixed granularity series
+        ("geoId/36", "Count_Person", "2019", 5.0),
+        ("geoId/36", "Count_Person", "2019-03", 6.0),
+        # hole-y monthly series (month gap)
+        ("geoId/48", "Count_Household", "2019-01", 1.0),
+        ("geoId/48", "Count_Household", "2019-02", 1.1),
+        ("geoId/48", "Count_Household", "2019-05", 1.2),
+        # duplicate date, conflicting values
+        ("geoId/12", "Count_Person", "2020", 7.0),
+        ("geoId/12", "Count_Person", "2020", 8.0),
+    ]
+    return spark.createDataFrame(rows, ["entity", "variable", "date", "value"])
+
+
+def test_sigma_outliers(obs):
+    from import_spark.operators.stats import sigma_outliers
+
+    out = sigma_outliers(obs).collect()
+    # one possible design: within (geoId/06, Count_Person), 100000 is not
+    # 3σ out because it inflates σ itself; assert the check flags it via
+    # relative dominance instead → it must be the only candidate if any
+    assert all(r.entity == "geoId/06" for r in out)
+
+
+def test_fluctuations(obs):
+    from import_spark.operators.stats import fluctuations
+
+    out = {(r.entity, r.check) for r in fluctuations(obs).collect()}
+    assert ("geoId/06", "StatsCheck_MaxPercentFluctuationGreaterThan500") in out
+
+
+def test_date_granularity(obs):
+    from import_spark.operators.stats import date_granularity_issues
+
+    out = {(r.entity, r.check) for r in date_granularity_issues(obs).collect()}
+    assert ("geoId/36", "StatsCheck_InconsistentDateGranularity") in out
+    assert ("geoId/48", "StatsCheck_DataHoles") in out
+
+
+def test_value_inconsistency(obs):
+    from import_spark.operators.stats import value_inconsistencies
+
+    out = {(r.entity, r.date) for r in value_inconsistencies(obs).collect()}
+    assert out == {("geoId/12", "2020")}
+
+
+def test_run_all_checks_counters(obs):
+    from import_spark.operators.stats import run_all_checks
+
+    counters = {r.check: r.n for r in run_all_checks(obs).collect()}
+    assert counters.get("StatsCheck_Inconsistent_Values") == 1
+    assert "StatsCheck_InconsistentDateGranularity" in counters
+
+
+def test_differ(spark):
+    from import_spark.operators.differ import diff_observations
+
+    cur = spark.createDataFrame(
+        [("V", "E1", "2020", 1.0), ("V", "E2", "2020", 2.0)],
+        ["variable", "entity", "date", "value"],
+    )
+    prev = spark.createDataFrame(
+        [("V", "E2", "2020", 3.0), ("V", "E3", "2020", 4.0)],
+        ["variable", "entity", "date", "value"],
+    )
+    out = {r.key_combined: r.diff_type for r in diff_observations(cur, prev).collect()}
+    # fixed-width 7-part key (DifferUtils.java:38-46)
+    assert out["V;E1;2020;;;;"] == "ADDED"
+    assert out["V;E2;2020;;;;"] == "MODIFIED"
+    assert out["V;E3;2020;;;;"] == "DELETED"
+
+
+def test_existence(spark):
+    from import_spark.operators.existence import dangling_objects, missing_references
+
+    triples = spark.createDataFrame(
+        [("a", "p", "RESOLVED_REF", "b"), ("b", "p", "RESOLVED_REF", "ghost")],
+        ["subj", "pred", "obj_type", "obj"],
+    )
+    known = spark.createDataFrame([("a",), ("b",)], ["node"])
+    missing = {r.ref for r in missing_references(triples, known).collect()}
+    assert missing == {"ghost"}
+    dangling = {r.node for r in dangling_objects(triples).collect()}
+    assert dangling == {"ghost"}
+
+
+def test_statvar_synthesis(spark):
+    from import_spark.operators.statvar import sanitize_sv_id, statvar_triples
+
+    svs = spark.createDataFrame(
+        [("sv1", "My Var", "Person", None, None)],
+        "sv_id string, name string, populationType string, measuredProperty string, statType string",
+    )
+    t = {(r.predicate, r.object) for r in statvar_triples(svs).collect()}
+    assert ("typeOf", "StatisticalVariable") in t
+    assert ("populationType", "Person") in t  # explicit overrides default
+    assert ("measuredProperty", "sv1") in t  # default = self id
+    assert ("statType", "measuredValue") in t  # default
+
+    ids = spark.range(1).select(
+        sanitize_sv_id(F.lit("My Fancy Var! (2020)")).alias("id"),
+        sanitize_sv_id(F.lit("x" * 300)).alias("long_id"),
+    ).first()
+    assert ids.id == "custom/statvar_my_fancy_var_2020_"
+    assert len(ids.long_id) <= 255 and ids.long_id.startswith("custom/statvar_x")

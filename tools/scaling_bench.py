@@ -1,10 +1,22 @@
 """Scaling-efficiency evidence for the north rule: run the identical
-KG-construction job at N and 4N cores (local[8] vs local[32] — the
-sandbox stand-in for N vs 4N executors) and report throughput at both
-plus efficiency = rate_4N / (4 * rate_N).
+KG-construction job at N and 4N cores (the sandbox stand-in for N vs
+4N executors) and report throughput at both plus
+efficiency = rate_4N / (4 * rate_N).
 
-Each level runs in a fresh subprocess (own JVM) so nothing is shared.
-Writes/updates BENCH/BASELINE.md.
+Methodology notes (they matter):
+- The transcripts table is **pre-materialized to parquet once** and
+  both levels read it — matching the real workload (an Iceberg table
+  scan), and excluding generation from the measurement.
+- Each level runs in a fresh subprocess (own JVM) **CPU-confined with
+  taskset**: in Spark local mode the Python workers and JVM threads of
+  a local[N] session otherwise spill onto every host CPU, silently
+  giving the small configuration ~2x its nominal cores and corrupting
+  the ratio.
+- A warm-up pipeline run (small input) excludes JVM/codegen/worker
+  startup; each level reports the best of ``trials`` runs to damp
+  hypervisor steal-time noise (this box shows 15-30%% st under load).
+
+Writes BENCH/BASELINE.md + BENCH/scaling.json.
 """
 
 from __future__ import annotations
@@ -16,64 +28,87 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CHILD = r"""
+CHILD = r'''
 import json, sys, time
 sys.path.insert(0, "__REPO__")
 from import_spark.session import get_spark
 from import_spark.sources.transcripts import generate_transcripts, dcid_dictionary
 from import_spark.plans.kg_pipeline import run_pipeline
 
-cores = int(sys.argv[1]); convs = int(sys.argv[2])
+cores, trials, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 spark = get_spark("scaling-bench", cores=cores)
 spark.sparkContext.setLogLevel("ERROR")
-# warm-up to exclude JVM/python-worker startup from the measured run
+# warm-up excludes JVM/codegen/python-worker startup
 run_pipeline(spark, generate_transcripts(spark, 500), dcid_dictionary(spark),
              verify_text_invariant=False).triples.count()
-tr = generate_transcripts(spark, convs)
+tr = spark.read.parquet(path)
 n_turns = tr.count()
-t0 = time.time()
-res = run_pipeline(spark, tr, dcid_dictionary(spark), verify_text_invariant=False)
-n = res.triples.count()
-dt = time.time() - t0
-print(json.dumps({"cores": cores, "convs": convs, "turns": n_turns,
-                  "triples": n, "sec": round(dt, 2),
-                  "triples_per_sec": round(n / dt, 1)}))
+best = None
+for _ in range(trials):
+    t0 = time.time()
+    res = run_pipeline(spark, tr, dcid_dictionary(spark), verify_text_invariant=False)
+    n = res.triples.count()
+    dt = time.time() - t0
+    res.triples.unpersist(); res.failed.unpersist()
+    if best is None or dt < best[0]:
+        best = (dt, n)
+print(json.dumps({"cores": cores, "turns": n_turns, "triples": best[1],
+                  "sec": round(best[0], 2),
+                  "triples_per_sec": round(best[1] / best[0], 1)}))
 spark.stop()
-"""
+'''
 
 
-def run_level(cores: int, convs: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD.replace("__REPO__", REPO), str(cores), str(convs)],
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd=REPO,
-    )
+def run_level(cores: int, trials: int, path: str) -> dict:
+    cmd = [sys.executable, "-c", CHILD.replace("__REPO__", REPO), str(cores), str(trials), path]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"child failed at cores={cores}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def materialize_input(convs: int, path: str) -> None:
+    code = (
+        'import sys; sys.path.insert(0, "__REPO__")\n'
+        "from import_spark.session import get_spark\n"
+        "from import_spark.sources.transcripts import generate_transcripts\n"
+        'spark = get_spark("gen", cores=32)\n'
+        'spark.sparkContext.setLogLevel("ERROR")\n'
+        f'generate_transcripts(spark, {convs}, partitions=64).write.mode("overwrite").parquet("{path}")\n'
+        "spark.stop()\n"
+    ).replace("__REPO__", REPO)
+    subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO, capture_output=True)
+
+
 def main() -> None:
-    convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", 60000))
+    convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", 200000))
     n = int(os.environ.get("SPARK_GRAFT_SCALING_N", 8))
-    lo = run_level(n, convs)
-    hi = run_level(4 * n, convs)
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", 2))
+    path = os.environ.get("SPARK_GRAFT_SCALING_INPUT", f"/tmp/spark_graft_transcripts_{convs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_input(convs, path)
+    lo = run_level(n, trials, path)
+    hi = run_level(4 * n, trials, path)
     eff = hi["triples_per_sec"] / (4 * lo["triples_per_sec"])
-    result = {"N": lo, "4N": hi, "scaling_efficiency": round(eff, 3)}
+    result = {"N": lo, "4N": hi, "scaling_efficiency": round(eff, 3), "convs": convs}
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH — measured KG-construction throughput & scaling\n\n"
-            "Same deterministic input (synthetic transcripts, "
-            f"{convs} conversations = {lo['turns']} turns), same job, two "
-            "parallelism levels (sandbox stand-in for N vs 4N executors; "
-            "fresh JVM per level, warm-up run excluded).\n\n"
+            "Same pre-materialized parquet transcripts table "
+            f"({convs} conversations = {lo['turns']} turns), same job, two CPU-confined\n"
+            "parallelism levels (taskset to N and 4N cores; fresh JVM per level;\n"
+            "warm-up run excluded; best of "
+            f"{trials} trials to damp 15-30% hypervisor steal noise).\n\n"
             "| config | turns | triples | time (s) | triples/sec |\n"
             "|---|---|---|---|---|\n"
-            f"| local[{lo['cores']}] | {lo['turns']} | {lo['triples']} | {lo['sec']} | {lo['triples_per_sec']} |\n"
-            f"| local[{hi['cores']}] | {hi['turns']} | {hi['triples']} | {hi['sec']} | {hi['triples_per_sec']} |\n\n"
+            f"| {lo['cores']} cores (local[{lo['cores']}]) | {lo['turns']} | {lo['triples']} | {lo['sec']} | {lo['triples_per_sec']} |\n"
+            f"| {hi['cores']} cores (local[{hi['cores']}]) | {hi['turns']} | {hi['triples']} | {hi['sec']} | {hi['triples_per_sec']} |\n\n"
             f"**Scaling efficiency (N→4N)** = {hi['triples_per_sec']} / (4 × {lo['triples_per_sec']}) "
             f"= **{eff:.3f}** (target ≥ 0.8)\n\n"
             "Correctness at this scale is gated separately: triple P/R vs the "
