@@ -10,11 +10,18 @@ GraphIngestionPipeline.java:44-113 + Processor.java:59-147):
 5. canonicalize— sameAs connected components, min-dcid rewrite
 6. merge       — single-shuffle dedupe, subject-hash layout, write
 
-Every stage records counters into a metrics table
+Pass discipline (what makes this scale): the extracted+linked statement
+set is materialized ONCE as a columnar snapshot (zstd parquet — the
+in-sandbox stand-in for an Iceberg stage table); every later consumer
+is a column-pruned, predicate-pushed scan of that snapshot instead of a
+JVM-object cache (deserialized caches of wide string rows are GC poison
+at high core counts). The big table is shuffled exactly once (dedupe)
+and the final row count comes from parquet metadata, not a recount.
+
+Every stage records counters into a metrics list
 (``(run_id, stage, counter, value)`` — the LogWrapper counter model,
-LogWrapper.java:50-68) and, when a checkpoint dir is given, persists
-its output parquet so a re-run resumes from the last completed stage
-(idempotent, the Wait.on/delete-before-write ordering of
+LogWrapper.java:50-68) and the snapshot makes re-runs resume past
+extract+link (idempotent; the Wait.on/delete-before-write ordering of
 GraphIngestionPipeline.java:273-316 collapses into driver-sequenced
 stages + dynamic partition overwrite).
 """
@@ -23,6 +30,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import tempfile
 import time
 from dataclasses import dataclass, field
 
@@ -68,24 +77,10 @@ class _Metrics:
                 "run_id": self.run_id,
                 "stage": stage,
                 "counter": counter,
-                "value": int(value) if isinstance(value, bool) is False and value is not None else value,
+                "value": int(value) if value is not None else None,
                 "elapsed_sec": round(time.time() - self._t0, 3),
             }
         )
-
-    def add_df_counts(self, stage: str, df: DataFrame, key_col: str) -> None:
-        for r in df.groupBy(key_col).count().collect():
-            self.add(stage, r[key_col], r["count"])
-
-
-def _ckpt_path(checkpoint_dir: str | None, run_id: str, stage: str) -> str | None:
-    if not checkpoint_dir:
-        return None
-    return os.path.join(checkpoint_dir, run_id, stage)
-
-
-def _stage_done(path: str | None) -> bool:
-    return bool(path) and os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 def run_pipeline(
@@ -99,6 +94,7 @@ def run_pipeline(
     check_generic_types: bool = False,
     num_buckets: int = 64,
     verify_text_invariant: bool = True,
+    keep_snapshot: bool | None = None,
 ) -> PipelineResult:
     m = _Metrics(run_id)
 
@@ -106,21 +102,24 @@ def run_pipeline(
     din = text_digest(transcripts) if verify_text_invariant else 0
     m.add("scan", "text_digest", din)
 
-    # 2-3. extract + link (narrow; one fused Python stage + broadcast join)
-    ex_path = _ckpt_path(checkpoint_dir, run_id, "linked")
-    if _stage_done(ex_path):
-        linked = spark.read.parquet(ex_path)
+    # 2-3. extract + link: one fused Python stage + broadcast join,
+    # materialized ONCE as a columnar snapshot
+    if checkpoint_dir:
+        snap = os.path.join(checkpoint_dir, run_id, "linked")
+        keep = True if keep_snapshot is None else keep_snapshot
+    else:
+        snap = os.path.join(tempfile.gettempdir(), f"import_spark_snap_{run_id}_{os.getpid()}")
+        keep = False if keep_snapshot is None else keep_snapshot
+    if os.path.exists(os.path.join(snap, "_SUCCESS")):
         m.add("link", "resumed_from_checkpoint", 1)
     else:
-        extracted = extract_statements(transcripts)
-        linked = link_statements(extracted, dcid_dict)
-        if ex_path:
-            linked.write.mode("overwrite").parquet(ex_path)
-            linked = spark.read.parquet(ex_path)
-    linked = linked.cache()
-    kind_counts = {r["kind"]: r["count"] for r in linked.groupBy("kind").count().collect()}
-    for k, v in kind_counts.items():
-        m.add("extract", f"rows_{k.lower()}", v)
+        linked_plan = link_statements(extract_statements(transcripts), dcid_dict)
+        linked_plan.write.mode("overwrite").parquet(snap)
+    linked = spark.read.parquet(snap)
+
+    # counters: one pruned scan (kind), one pushdown scan (rare ERROR rows)
+    for r in linked.groupBy("kind").count().collect():
+        m.add("extract", f"rows_{r['kind'].lower()}", r["count"])
     err_counts = (
         linked.filter(F.col("kind") == "ERROR").groupBy("pred").count().collect()
     )
@@ -129,37 +128,33 @@ def run_pipeline(
 
     # 4. resolve
     res = resolve_locals(linked, num_partitions=num_partitions)
-    resolved = res.resolved.cache()
-    failed = res.failed.cache()
+    resolved = res.resolved
+    failed = res.failed.localCheckpoint()
     m.add("resolve", "rounds", res.rounds)
     for r in failed.groupBy("error").count().collect():
         m.add("resolve", r["error"], r["count"])
 
-    # 5. canonicalize
+    # 5. canonicalize (sameAs edges: one pruned scan of the snapshot)
     same_as = resolved.filter(F.col("pred") == "sameAs").select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
-    components = connected_components(same_as).cache()
+    components = connected_components(same_as).localCheckpoint()
     m.add("canonicalize", "nodes_rewritten", components.count())
     canon = canonicalize_triples(resolved, components)
 
-    # 6. merge + materialize
+    # 6. merge + materialize (the single big shuffle, then write)
     if check_generic_types:
         canon = drop_generic_types(canon)
     final = dedupe_triples(canon.select(*FINAL_COLS), num_partitions=num_partitions)
-    if not out_dir:
-        final = final.cache()
     if out_dir:
-        materialize(final, os.path.join(out_dir, "triples"), num_buckets=num_buckets)
-        final = spark.read.parquet(os.path.join(out_dir, "triples"))
-        failed_cols = [c for c in failed.columns]
+        tri_path = os.path.join(out_dir, "triples")
+        materialize(final, tri_path, num_buckets=num_buckets)
+        final = spark.read.parquet(tri_path)
         failed.write.mode("overwrite").parquet(os.path.join(out_dir, "failed"))
-        m.add("merge", "failed_cols", len(failed_cols))
+    else:
+        final = final.cache()
+    # parquet metadata count (no recompute) when materialized
     m.add("merge", "triples_final", final.count())
-    # release intermediates: final (and failed) are materialized by now
-    linked.unpersist()
-    resolved.unpersist()
-    components.unpersist()
 
     # invariant: input text unchanged under stable ordering
     dout = text_digest(transcripts) if verify_text_invariant else 0
@@ -170,6 +165,8 @@ def run_pipeline(
     if out_dir:
         with open(os.path.join(out_dir, f"metrics_{run_id}.json"), "w") as f:
             json.dump(m.rows, f, indent=1)
+    if not keep and os.path.exists(snap):
+        shutil.rmtree(snap, ignore_errors=True)
 
     return PipelineResult(
         triples=final, failed=failed, metrics=m.rows, text_digest_in=din, text_digest_out=dout
