@@ -44,20 +44,35 @@ run_pipeline(spark, generate_transcripts(spark, 500), dcid_dictionary(spark),
 tr = spark.read.parquet(path)
 n_turns = tr.count()
 import tempfile
+
+def cpu_sample():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = list(map(int, parts[1:9]))
+    idle = vals[3] + vals[4]
+    steal = vals[7]
+    return sum(vals), idle, steal
+
 best = None
 for _ in range(trials):
     out = tempfile.mkdtemp(prefix="scaling_out_")
+    s0 = cpu_sample()
     t0 = time.time()
     res = run_pipeline(spark, tr, dcid_dictionary(spark), out_dir=out,
                        verify_text_invariant=False)
     n = res.triples.count()
     dt = time.time() - t0
+    s1 = cpu_sample()
+    tot = s1[0] - s0[0]
+    steal_pct = round(100.0 * (s1[2] - s0[2]) / max(tot, 1), 1)
+    busy_pct = round(100.0 * (tot - (s1[1] - s0[1])) / max(tot, 1), 1)
     import shutil; shutil.rmtree(out, ignore_errors=True)
     if best is None or dt < best[0]:
-        best = (dt, n)
+        best = (dt, n, steal_pct, busy_pct)
 print(json.dumps({"cores": cores, "turns": n_turns, "triples": best[1],
                   "sec": round(best[0], 2),
-                  "triples_per_sec": round(best[1] / best[0], 1)}))
+                  "triples_per_sec": round(best[1] / best[0], 1),
+                  "host_steal_pct": best[2], "host_busy_pct": best[3]}))
 spark.stop()
 '''
 
