@@ -65,6 +65,50 @@ def drop_generic_types(triples: DataFrame) -> DataFrame:
     ).drop("_has_specific")
 
 
+def dedupe_and_materialize(
+    triples: DataFrame,
+    path: str,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Fused global dedupe + subject-hash-bucketed write with ONE shuffle.
+
+    Rows are hash-repartitioned by ``subj_bucket = hash(subj) % B``;
+    every duplicate of (subj, pred, obj) lands in the same bucket, so a
+    within-partition sort + lag filter is a global distinct, and the
+    write's ``partitionBy(subj_bucket)`` reuses the same clustering —
+    no second exchange (a naive dedupe-then-repartition-for-layout plan
+    shuffles the full table twice).
+    """
+    b = triples.withColumn(
+        "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(num_buckets))
+    )
+    b = (
+        b.repartition(num_partitions, "subj_bucket")
+        if num_partitions
+        else b.repartition("subj_bucket")
+    )
+    w = Window.partitionBy("subj_bucket").orderBy(
+        "subj", "pred", "obj_type", "obj", "conv_id", "turn_idx"
+    )
+    deduped = (
+        b.withColumn("_ps", F.lag("subj").over(w))
+        .withColumn("_pp", F.lag("pred").over(w))
+        .withColumn("_pt", F.lag("obj_type").over(w))
+        .withColumn("_po", F.lag("obj").over(w))
+        .filter(
+            F.col("_ps").isNull()
+            | (F.col("subj") != F.col("_ps"))
+            | (F.col("pred") != F.col("_pp"))
+            | (F.col("obj_type") != F.col("_pt"))
+            | (F.col("obj") != F.col("_po"))
+        )
+        .drop("_ps", "_pp", "_pt", "_po")
+    )
+    deduped.write.mode(mode).partitionBy("subj_bucket").parquet(path)
+
+
 def materialize(
     triples: DataFrame,
     path: str,

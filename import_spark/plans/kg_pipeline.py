@@ -41,7 +41,11 @@ from pyspark.sql import functions as F
 from import_spark.operators.canonicalize import canonicalize_triples, connected_components
 from import_spark.operators.extract import extract_statements
 from import_spark.operators.link import link_statements
-from import_spark.operators.merge import dedupe_triples, drop_generic_types, materialize
+from import_spark.operators.merge import (
+    dedupe_and_materialize,
+    dedupe_triples,
+    drop_generic_types,
+)
 from import_spark.operators.resolve import resolve_locals
 
 FINAL_COLS = ["subj", "pred", "obj_type", "obj", "conv_id", "turn_idx"]
@@ -114,7 +118,9 @@ def run_pipeline(
         m.add("link", "resumed_from_checkpoint", 1)
     else:
         linked_plan = link_statements(extract_statements(transcripts), dcid_dict)
-        linked_plan.write.mode("overwrite").parquet(snap)
+        # kind-partitioned snapshot: DEF/ERROR scans touch only their
+        # (tiny) files; TRIPLE scans skip them
+        linked_plan.write.mode("overwrite").partitionBy("kind").parquet(snap)
     linked = spark.read.parquet(snap)
 
     # counters: one pruned scan (kind), one pushdown scan (rare ERROR rows)
@@ -142,17 +148,23 @@ def run_pipeline(
     m.add("canonicalize", "nodes_rewritten", components.count())
     canon = canonicalize_triples(resolved, components)
 
-    # 6. merge + materialize (the single big shuffle, then write)
+    # 6. merge + materialize (the single big shuffle IS the write layout)
     if check_generic_types:
         canon = drop_generic_types(canon)
-    final = dedupe_triples(canon.select(*FINAL_COLS), num_partitions=num_partitions)
     if out_dir:
         tri_path = os.path.join(out_dir, "triples")
-        materialize(final, tri_path, num_buckets=num_buckets)
+        dedupe_and_materialize(
+            canon.select(*FINAL_COLS),
+            tri_path,
+            num_buckets=num_buckets,
+            num_partitions=num_partitions,
+        )
         final = spark.read.parquet(tri_path)
         failed.write.mode("overwrite").parquet(os.path.join(out_dir, "failed"))
     else:
-        final = final.cache()
+        final = dedupe_triples(
+            canon.select(*FINAL_COLS), num_partitions=num_partitions
+        ).cache()
     # parquet metadata count (no recompute) when materialized
     m.add("merge", "triples_final", final.count())
 
