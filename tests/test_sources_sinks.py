@@ -58,7 +58,7 @@ def test_jsonld_spark(spark, tmp_path):
     p = tmp_path / "g.jsonl"
     p.write_text("\n".join(json.dumps(o) for o in JSONLD) + "\nnot json\n")
     df = read_jsonld(spark, str(p))
-    assert df.count() == 8  # malformed line skipped
+    assert df.count() == 6  # 3 props per node; malformed line skipped
     assert df.filter(F.col("node_id") == "geoId/06").count() == 3
 
 
