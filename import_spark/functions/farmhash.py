@@ -219,3 +219,138 @@ def facet_id(key_string: str) -> str:
     """Unsigned-decimal farmhash64, the TimeSeries facet id encoding
     (pipeline/.../TimeSeries.java:170-191)."""
     return str(fingerprint64(key_string))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (NumPy) batch implementation
+# ---------------------------------------------------------------------------
+# The scalar functions above are the spec; these produce identical bits
+# for whole key columns at once (the extraction hot path hashes one key
+# per turn — per-row Python there costs ~half the stage CPU). Rows are
+# grouped by exact byte length so every fetch64 offset is fixed per
+# group and the whole group is one (n, L) uint8 matrix; uint64 numpy
+# arithmetic wraps mod 2^64 exactly like the scalar code. Strings
+# longer than 64 bytes (rare for key strings) fall back to the scalar
+# path.
+
+import numpy as np  # noqa: E402
+
+_U = np.uint64
+
+
+def _nfetch64(mat: "np.ndarray", i: int) -> "np.ndarray":
+    return np.ascontiguousarray(mat[:, i : i + 8]).view("<u8").ravel()
+
+
+def _nfetch32(mat: "np.ndarray", i: int) -> "np.ndarray":
+    return np.ascontiguousarray(mat[:, i : i + 4]).view("<u4").ravel().astype(np.uint64)
+
+
+def _nrotr(v, s: int):
+    return (v >> _U(s)) | (v << _U(64 - s))
+
+
+def _nshift_mix(v):
+    return v ^ (v >> _U(47))
+
+
+def _nhash_len_16(u, v, mul):
+    a = (u ^ v) * mul
+    a ^= a >> _U(47)
+    b = (v ^ a) * mul
+    b ^= b >> _U(47)
+    return b * mul
+
+
+def _nfp_fixed(mat: "np.ndarray", n: int) -> "np.ndarray":
+    """Fingerprint64 for an (rows, n) byte matrix, 1 <= n <= 64."""
+    K0, K1, K2 = _U(_K0), _U(_K1), _U(_K2)
+    if n >= 33:
+        mul = _U((_K2 + n * 2) & _MASK)
+        a = _nfetch64(mat, 0) * K2
+        b = _nfetch64(mat, 8)
+        c = _nfetch64(mat, n - 8)
+        d = _nfetch64(mat, n - 16)
+        c_mul = c * mul
+        d_k2 = d * K2
+        y = _nrotr(a + b, 43) + _nrotr(c_mul, 30) + d_k2
+        z = _nhash_len_16(y, a + _nrotr(b + K2, 18) + c_mul, mul)
+        e = _nfetch64(mat, 16) * mul
+        f = _nfetch64(mat, 24)
+        g = (y + _nfetch64(mat, n - 32)) * mul
+        h = (z + _nfetch64(mat, n - 24)) * mul
+        return _nhash_len_16(
+            _nrotr(e + f, 43) + _nrotr(g, 30) + h, e + _nrotr(f + a, 18) + g, mul
+        )
+    if n >= 17:
+        mul = _U((_K2 + n * 2) & _MASK)
+        a = _nfetch64(mat, 0) * K1
+        b = _nfetch64(mat, 8)
+        c = _nfetch64(mat, n - 8) * mul
+        d = _nfetch64(mat, n - 16) * K2
+        return _nhash_len_16(
+            _nrotr(a + b, 43) + _nrotr(c, 30) + d, a + _nrotr(b + K2, 18) + c, mul
+        )
+    if n >= 8:
+        mul = _U((_K2 + n * 2) & _MASK)
+        a = _nfetch64(mat, 0) + K2
+        b = _nfetch64(mat, n - 8)
+        c = _nrotr(b, 37) * mul + a
+        d = (_nrotr(a, 25) + b) * mul
+        return _nhash_len_16(c, d, mul)
+    if n >= 4:
+        mul = _U((_K2 + n * 2) & _MASK)
+        a = _nfetch32(mat, 0)
+        return _nhash_len_16(_U(n) + (a << _U(3)), _nfetch32(mat, n - 4), mul)
+    # 1..3 bytes
+    a = mat[:, 0].astype(np.uint64)
+    b = mat[:, n >> 1].astype(np.uint64)
+    c = mat[:, n - 1].astype(np.uint64)
+    y = a + (b << _U(8))
+    z = _U(n) + (c << _U(2))
+    return _nshift_mix((y * K2) ^ (z * K0)) * K2
+
+
+def fingerprint64_batch(values) -> "np.ndarray":
+    """Vectorized Fingerprint64 over an iterable/Series of strings.
+
+    Bit-identical to ``fingerprint64`` (tests compare exhaustively).
+    """
+    enc = [v.encode("utf-8") if isinstance(v, str) else b"" for v in values]
+    n = len(enc)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(x) for x in enc), dtype=np.int64, count=n)
+    for L in np.unique(lens):
+        idx = np.nonzero(lens == L)[0]
+        if L == 0:
+            out[idx] = _U(_K2)
+        elif L > 64:
+            out[idx] = np.fromiter(
+                (fingerprint64(enc[i]) for i in idx), dtype=np.uint64, count=len(idx)
+            )
+        else:
+            blob = b"".join(enc[i] for i in idx)
+            mat = np.frombuffer(blob, dtype=np.uint8).reshape(-1, L)
+            out[idx] = _nfp_fixed(mat, int(L))
+    return out
+
+
+_B32_LUT = np.array(list(DCID_BASE32_ALPHABET), dtype="<U1")
+
+
+def long_id_batch(values) -> "np.ndarray":
+    """Vectorized base32 long ids (object array of str)."""
+    fp = fingerprint64_batch(values)
+    n = len(fp)
+    if n == 0:
+        return np.array([], dtype=object)
+    # 13 little-endian 5-bit groups; high zero groups become trailing
+    # '0' chars in the string and are stripped (value 0 → "0")
+    chars = np.empty((n, 13), dtype="<U1")
+    for k in range(13):
+        chars[:, k] = _B32_LUT[((fp >> _U(5 * k)) & _U(0x1F)).astype(np.int64)]
+    full = np.ascontiguousarray(chars).view("<U13").ravel()
+    stripped = np.char.rstrip(full, "0")
+    return np.where(stripped == "", "0", stripped).astype(object)

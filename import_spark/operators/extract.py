@@ -24,14 +24,14 @@ from __future__ import annotations
 import re
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from import_spark.functions.complex_values import parse_complex_value
-from import_spark.functions.dcids import svobs_dcid
-from import_spark.functions.farmhash import long_id
+from import_spark.functions.farmhash import long_id, long_id_batch
 from import_spark.functions.values import clean_numeric_string, is_number, is_valid_date
 
 EXTRACT_SCHEMA = T.StructType(
@@ -77,14 +77,15 @@ def turn_dcid_key(conv_id: str, turn_idx) -> str:
 
 def _turn_dcids(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
     keys = "conv_id=" + conv_id + "turn_idx=" + turn_idx.astype(str)
-    return "dc/t/" + keys.map(long_id)
+    return pd.Series("dc/t/" + long_id_batch(keys.values), index=keys.index)
 
 
 def _conv_dcids(conv_id: pd.Series) -> pd.Series:
     keys = "conv_id=" + conv_id
-    # cache per-batch: few distinct convs per batch
-    lut = {k: "dc/c/" + long_id(k) for k in keys.unique()}
-    return keys.map(lut)
+    # hash only distinct convs per batch (vectorized), then map back
+    uniq = keys.unique()
+    ids = "dc/c/" + long_id_batch(uniq)
+    return keys.map(dict(zip(uniq, ids)))
 
 
 def _classify_token(tok: pd.Series) -> pd.DataFrame:
@@ -278,19 +279,16 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         ig = i[good]
         if len(ig):
             pg, vg, dg, vvg, ug = (s[good].reset_index(drop=True) for s in (place, var, date, val, unit))
-            keys = pd.DataFrame({"p": pg, "v": vg, "d": dg, "val": vvg, "u": ug})
-            obs_id = keys.apply(
-                lambda r: svobs_dcid(
-                    {
-                        "observationAbout": r["p"],
-                        "variableMeasured": r["v"],
-                        "observationDate": r["d"],
-                        "value": r["val"],
-                        **({"unit": r["u"]} if isinstance(r["u"], str) and r["u"] else {}),
-                    }
-                ),
-                axis=1,
+            # ordered SVObs key string (DcidGenerator.java:178-211),
+            # vectorized: unit appended only where present
+            keys = (
+                "observationAbout=" + pg
+                + "variableMeasured=" + vg
+                + "observationDate=" + dg
+                + "value=" + vvg
+                + np.where(ug.fillna("") != "", "unit=" + ug.fillna(""), "")
             )
+            obs_id = pd.Series("dc/o/" + long_id_batch(keys.values), index=pg.index)
             emit(ig, obs_id, "typeOf", "RESOLVED_REF", "StatVarObservation")
             emit(ig, obs_id, "observationAbout", "RESOLVED_REF", pg)
             emit(ig, obs_id, "variableMeasured", "RESOLVED_REF", vg)
