@@ -326,3 +326,261 @@ def extract_statements(transcripts: DataFrame) -> DataFrame:
     # column-prune before the Python boundary: ts never crosses Arrow
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
     return transcripts.select(*cols).mapInPandas(gen, schema=EXTRACT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fused extract+link (the pipeline hot path)
+# ---------------------------------------------------------------------------
+# Two bandwidth optimizations over extract_statements → link_statements:
+# 1. The dcid dictionary is tiny (the reference batches it over RPC,
+#    ReconClient.java:31; we broadcast it as a plain dict in the UDF
+#    closure), so external ids resolve inside the same pandas pass —
+#    EXT rows never cross Arrow and the downstream join disappears.
+# 2. The 4-5 constant base statements per turn (typeOf/partOf/role/
+#    toolUsed/conversation-typeOf) are not built in Python: the UDF
+#    emits ONE 'TURN' row per turn (turn dcid + conv dcid + role +
+#    tool) and whole-stage-codegen explodes it into the base
+#    statements JVM-side. Python→JVM volume drops ~4x, which is what
+#    the stage's scaling is bounded by at high core counts.
+
+FUSED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),  # TRIPLE | DEF | ERROR | TURN
+        T.StructField("subj", T.StringType(), True),
+        T.StructField("pred", T.StringType(), True),
+        T.StructField("obj_type", T.StringType(), True),
+        T.StructField("obj", T.StringType(), True),
+    ]
+)
+
+OUT_COLS = ["conv_id", "turn_idx", "kind", "subj", "pred", "obj_type", "obj"]
+
+
+def _resolve_token(tok: pd.Series, dcid_map: dict) -> pd.Series:
+    """Mention token → resolved dcid (dictionary first-wins, priority
+    prefix fallback — J1 + DcidGenerator.forPlace semantics)."""
+    split = tok.str.extract(r"^([A-Za-z]+):(.+)$")
+    prefix, rest = split[0], split[1]
+    known = prefix.map(EXT_PREFIXES)
+    out = tok.copy()
+    is_dcid = prefix == "dcid"
+    out[is_dcid] = rest[is_dcid]
+    is_ext = known.notna()
+    if is_ext.any():
+        props = known[is_ext]
+        exts = rest[is_ext]
+        hits = pd.Series(
+            [dcid_map.get((p, e)) for p, e in zip(props, exts)], index=props.index
+        )
+        fallback = props.map(lambda p: "iso" if p == "isoCode" else p) + "/" + exts
+        out[is_ext] = hits.fillna(fallback)
+    return out
+
+
+def _extract_batch_fused(pdf: pd.DataFrame, dcid_map: dict) -> pd.DataFrame:
+    conv = pdf["conv_id"]
+    tidx = pdf["turn_idx"]
+    text = pdf["text"]
+    turn_id = _turn_dcids(conv, tidx)
+    conv_id_dc = _conv_dcids(conv)
+
+    frames: list[pd.DataFrame] = []
+
+    def _v(x):
+        return x.values if hasattr(x, "values") else x
+
+    def emit(idx, subj, pred, obj_type, obj, kind="TRIPLE") -> None:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": conv.loc[idx].values,
+                    "turn_idx": tidx.loc[idx].values,
+                    "kind": kind,
+                    "subj": _v(subj),
+                    "pred": _v(pred),
+                    "obj_type": _v(obj_type),
+                    "obj": _v(obj),
+                }
+            )
+        )
+
+    # one TURN row per turn; base statements expand JVM-side
+    emit(pdf.index, turn_id, pdf["role"], pdf["tool"], conv_id_dc, kind="TURN")
+
+    m = text.str.extractall(_RE_MENTION)
+    if len(m):
+        i = m.index.get_level_values(0)
+        emit(i, turn_id.loc[i], "mentions", "RESOLVED_REF",
+             _resolve_token(m[0].reset_index(drop=True), dcid_map))
+
+    m = text.str.extractall(_RE_NOTE)
+    if len(m):
+        i = m.index.get_level_values(0)
+        emit(i, turn_id.loc[i], "says", "TEXT", m[0].reset_index(drop=True))
+
+    m = text.str.extractall(_RE_METRIC)
+    if len(m):
+        i = m.index.get_level_values(0)
+        emit(i, turn_id.loc[i], "value", "NUMBER", m[0].reset_index(drop=True))
+
+    m = text.str.extractall(_RE_COMPLEX)
+    if len(m):
+        i = m.index.get_level_values(0)
+        vals = m[0].reset_index(drop=True)
+        lut = {v: parse_complex_value(v) for v in vals.unique()}
+        parsed = vals.map(lut)
+        ok = parsed.notna().values
+        cv = parsed[ok]
+        iok = i[ok]
+        dcids = cv.map(lambda c: c.dcid)
+        pred = cv.map(lambda c: "location" if c.type_of == "GeoCoordinates" else "quantity")
+        emit(iok, turn_id.loc[iok], pred, "RESOLVED_REF", dcids)
+        emit(iok, dcids, "typeOf", "RESOLVED_REF", cv.map(lambda c: c.type_of))
+        emit(iok, dcids, "name", "TEXT", cv.map(lambda c: c.name))
+        for k in range(3):
+            mask = cv.map(lambda c, _k=k: len(c.pvs) > _k)
+            sub = cv[mask]
+            if not len(sub):
+                continue
+            isub = iok[mask.values]
+            emit(
+                isub,
+                sub.map(lambda c: c.dcid),
+                sub.map(lambda c, _k=k: c.pvs[_k][0]),
+                sub.map(lambda c, _k=k: c.pvs[_k][1]),
+                sub.map(lambda c, _k=k: c.pvs[_k][2]),
+            )
+        bad = ~ok
+        if bad.any():
+            ibad = i[bad]
+            emit(ibad, turn_id.loc[ibad], "MCF_MalformedComplexValue", "TEXT",
+                 vals[bad], kind="ERROR")
+    open_bad = text.str.contains(_RE_COMPLEX_OPEN)
+    if open_bad.any():
+        ib = pdf.index[open_bad]
+        emit(ib, turn_id.loc[ib], "MCF_MalformedComplexValue", "TEXT",
+             text.loc[ib], kind="ERROR")
+
+    m = text.str.extractall(_RE_DEFINE)
+    if len(m):
+        i = m.index.get_level_values(0)
+        local = m[0].reset_index(drop=True)
+        tgt = m[1].reset_index(drop=True)
+        is_local_tgt = tgt.str.startswith("l:")
+        obj = _resolve_token(tgt, dcid_map)
+        obj[is_local_tgt] = tgt[is_local_tgt]
+        obj_type = pd.Series(
+            np.where(is_local_tgt, "UNRESOLVED_REF", "RESOLVED_REF"), index=tgt.index
+        )
+        emit(i, local, "__def__", obj_type, obj, kind="DEF")
+        emit(i, turn_id.loc[i], "defines", "UNRESOLVED_REF", local)
+
+    m = text.str.extractall(_RE_SEE)
+    if len(m):
+        i = m.index.get_level_values(0)
+        emit(i, turn_id.loc[i], "references", "UNRESOLVED_REF", m[0].reset_index(drop=True))
+
+    m = text.str.extractall(_RE_OBSERVE)
+    if len(m):
+        i = m.index.get_level_values(0)
+        place = m[0].reset_index(drop=True)
+        var = m[1].reset_index(drop=True)
+        date = m[2].reset_index(drop=True)
+        val = m[3].reset_index(drop=True).map(clean_numeric_string)
+        unit = m[4].reset_index(drop=True)
+        date_ok = date.map(is_valid_date)
+        val_ok = val.map(is_number)
+        good = (date_ok & val_ok).values
+        if (~good).any():
+            ibad = i[~good]
+            cnt = pd.Series("Sanity_InvalidObsDate", index=date.index[~good])
+            cnt[~val_ok[~good]] = "Sanity_NonDoubleObsValue"
+            emit(ibad, turn_id.loc[ibad], cnt, "TEXT", (date + "=" + val)[~good], kind="ERROR")
+        ig = i[good]
+        if len(ig):
+            pg, vg, dg, vvg, ug = (s[good].reset_index(drop=True) for s in (place, var, date, val, unit))
+            keys = (
+                "observationAbout=" + pg
+                + "variableMeasured=" + vg
+                + "observationDate=" + dg
+                + "value=" + vvg
+                + np.where(ug.fillna("") != "", "unit=" + ug.fillna(""), "")
+            )
+            obs_id = pd.Series("dc/o/" + long_id_batch(keys.values), index=pg.index)
+            emit(ig, obs_id, "typeOf", "RESOLVED_REF", "StatVarObservation")
+            emit(ig, obs_id, "observationAbout", "RESOLVED_REF", pg)
+            emit(ig, obs_id, "variableMeasured", "RESOLVED_REF", vg)
+            emit(ig, obs_id, "observationDate", "TEXT", dg)
+            emit(ig, obs_id, "value", "NUMBER", vvg)
+            has_u = ug.notna() & (ug != "")
+            if has_u.any():
+                iu = ig[has_u.values]
+                emit(iu, obs_id[has_u], "unit", "RESOLVED_REF", ug[has_u])
+            emit(ig, turn_id.loc[ig], "observes", "RESOLVED_REF", obs_id)
+
+    m = text.str.extractall(_RE_SAMEAS)
+    if len(m):
+        i = m.index.get_level_values(0)
+        emit(i, m[0].reset_index(drop=True), "sameAs", "RESOLVED_REF",
+             m[1].reset_index(drop=True))
+
+    if not frames:
+        return pd.DataFrame(columns=OUT_COLS)
+    out = pd.concat(frames, ignore_index=True)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out
+
+
+def extract_and_link(transcripts: DataFrame, dcid_map: dict) -> DataFrame:
+    """Fused extract+link; output schema/semantics identical to
+    ``link_statements(extract_statements(df), dict_df)`` minus the
+    (internal) ext columns."""
+    from pyspark.sql import functions as F
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _extract_batch_fused(pdf, dcid_map)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    raw = transcripts.select(*cols).mapInPandas(gen, schema=FUSED_SCHEMA)
+
+    turns = raw.filter(F.col("kind") == "TURN")
+    stmts = raw.filter(F.col("kind") != "TURN")
+    s = lambda p, t, o: F.struct(  # noqa: E731
+        F.lit("TRIPLE").alias("kind"),
+        F.col("subj").alias("subj"),
+        F.lit(p).alias("pred"),
+        F.lit(t).alias("obj_type"),
+        o.alias("obj"),
+    )
+    base = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.filter(
+                F.array(
+                    s("typeOf", "RESOLVED_REF", F.lit(TURN_TYPE)),
+                    s("partOf", "RESOLVED_REF", F.col("obj")),
+                    F.struct(
+                        F.lit("TRIPLE").alias("kind"),
+                        F.col("obj").alias("subj"),
+                        F.lit("typeOf").alias("pred"),
+                        F.lit("RESOLVED_REF").alias("obj_type"),
+                        F.lit(CONV_TYPE).alias("obj"),
+                    ),
+                    s("role", "TEXT", F.col("pred")),
+                    F.when(
+                        F.col("obj_type") != "",
+                        s("toolUsed", "TEXT", F.col("obj_type")),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("b"),
+    ).select(
+        "conv_id", "turn_idx", "b.kind", "b.subj", "b.pred", "b.obj_type", "b.obj"
+    )
+    return stmts.unionByName(base)

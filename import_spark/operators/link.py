@@ -61,3 +61,13 @@ def link_statements(extracted: DataFrame, dcid_dict: DataFrame) -> DataFrame:
         )
         .drop("_dict_dcid")
     )
+
+
+def dcid_map_from_df(dcid_dict: DataFrame) -> dict:
+    """Collect the (small) dictionary to a driver dict for UDF-closure
+    broadcast (the fused extract+link path). Deterministic first-wins
+    per (prop, ext_id) like prepare_dictionary."""
+    return {
+        (r["prop"], r["ext_id"]): r["dcid"]
+        for r in prepare_dictionary(dcid_dict).collect()
+    }

@@ -44,8 +44,14 @@ class ResolveResult:
     rounds: int
 
 
-def _dedupe_defs(defs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Dedupe identical defs; flag divergent locals (≥2 distinct targets)."""
+def _dedupe_defs(
+    defs: DataFrame, approx_defs: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Dedupe identical defs; flag divergent locals (≥2 distinct targets).
+
+    ``approx_defs`` (e.g. the pipeline's DEF row counter) sizes the
+    broadcast decision without an extra count job.
+    """
     d = (
         defs.select(
             "conv_id",
@@ -61,17 +67,22 @@ def _dedupe_defs(defs: DataFrame) -> tuple[DataFrame, DataFrame]:
     divergent = (
         counts.filter(F.col("n_targets") > 1).select("conv_id", "local").localCheckpoint()
     )
-    div_side = F.broadcast(divergent) if d.count() <= BROADCAST_MAP_MAX_ROWS else divergent
+    n_d = approx_defs if approx_defs is not None else d.count()
+    div_side = F.broadcast(divergent) if n_d <= BROADCAST_MAP_MAX_ROWS else divergent
     clean = d.join(div_side, ["conv_id", "local"], "left_anti")
     return clean, divergent
 
 
-def resolve_locals(linked: DataFrame, num_partitions: int | None = None) -> ResolveResult:
+def resolve_locals(
+    linked: DataFrame,
+    num_partitions: int | None = None,
+    approx_defs: int | None = None,
+) -> ResolveResult:
     """Resolve UNRESOLVED_REF objects using DEF records in ``linked``."""
     triples = linked.filter(F.col("kind") == "TRIPLE")
     defs = linked.filter(F.col("kind") == "DEF")
 
-    clean, divergent = _dedupe_defs(defs)
+    clean, divergent = _dedupe_defs(defs, approx_defs=approx_defs)
     # one materialization: everything below derives from this small snapshot
     clean = clean.localCheckpoint()
 

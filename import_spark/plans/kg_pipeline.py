@@ -39,8 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from import_spark.operators.canonicalize import canonicalize_triples, connected_components
-from import_spark.operators.extract import extract_statements
-from import_spark.operators.link import link_statements
+from import_spark.operators.extract import extract_and_link
+from import_spark.operators.link import dcid_map_from_df
 from import_spark.operators.merge import (
     dedupe_and_materialize,
     dedupe_triples,
@@ -117,7 +117,7 @@ def run_pipeline(
     if os.path.exists(os.path.join(snap, "_SUCCESS")):
         m.add("link", "resumed_from_checkpoint", 1)
     else:
-        linked_plan = link_statements(extract_statements(transcripts), dcid_dict)
+        linked_plan = extract_and_link(transcripts, dcid_map_from_df(dcid_dict))
         # kind-partitioned snapshot: DEF/ERROR scans touch only their
         # (tiny) files; TRIPLE scans skip them
         linked_plan.write.mode("overwrite").partitionBy("kind").parquet(snap)
@@ -132,8 +132,15 @@ def run_pipeline(
     for r in err_counts:
         m.add("extract", r["pred"], r["count"])
 
-    # 4. resolve
-    res = resolve_locals(linked, num_partitions=num_partitions)
+    # 4. resolve (the DEF counter sizes its broadcast decision — no extra job)
+    kind_counts = {
+        r["counter"]: r["value"] for r in m.rows if r["counter"].startswith("rows_")
+    }
+    res = resolve_locals(
+        linked,
+        num_partitions=num_partitions,
+        approx_defs=kind_counts.get("rows_def", None),
+    )
     resolved = res.resolved
     failed = res.failed.localCheckpoint()
     m.add("resolve", "rounds", res.rounds)
