@@ -547,8 +547,10 @@ def extract_and_link(transcripts: DataFrame, dcid_map: dict) -> DataFrame:
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
     raw = transcripts.select(*cols).mapInPandas(gen, schema=FUSED_SCHEMA)
 
-    turns = raw.filter(F.col("kind") == "TURN")
-    stmts = raw.filter(F.col("kind") != "TURN")
+    # single-pass expansion: a TURN row becomes its 4-5 base statements,
+    # every other row passes through — one conditional explode, so the
+    # Python stage executes exactly once (a union of two filters of the
+    # same mapInPandas would run it twice)
     s = lambda p, t, o: F.struct(  # noqa: E731
         F.lit("TRIPLE").alias("kind"),
         F.col("subj").alias("subj"),
@@ -556,31 +558,31 @@ def extract_and_link(transcripts: DataFrame, dcid_map: dict) -> DataFrame:
         F.lit(t).alias("obj_type"),
         o.alias("obj"),
     )
-    base = turns.select(
+    base_arr = F.filter(
+        F.array(
+            s("typeOf", "RESOLVED_REF", F.lit(TURN_TYPE)),
+            s("partOf", "RESOLVED_REF", F.col("obj")),
+            F.struct(
+                F.lit("TRIPLE").alias("kind"),
+                F.col("obj").alias("subj"),
+                F.lit("typeOf").alias("pred"),
+                F.lit("RESOLVED_REF").alias("obj_type"),
+                F.lit(CONV_TYPE).alias("obj"),
+            ),
+            s("role", "TEXT", F.col("pred")),
+            F.when(F.col("obj_type") != "", s("toolUsed", "TEXT", F.col("obj_type"))),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    passthrough = F.array(
+        F.struct(
+            F.col("kind"), F.col("subj"), F.col("pred"), F.col("obj_type"), F.col("obj")
+        )
+    )
+    return raw.select(
         "conv_id",
         "turn_idx",
         F.explode(
-            F.filter(
-                F.array(
-                    s("typeOf", "RESOLVED_REF", F.lit(TURN_TYPE)),
-                    s("partOf", "RESOLVED_REF", F.col("obj")),
-                    F.struct(
-                        F.lit("TRIPLE").alias("kind"),
-                        F.col("obj").alias("subj"),
-                        F.lit("typeOf").alias("pred"),
-                        F.lit("RESOLVED_REF").alias("obj_type"),
-                        F.lit(CONV_TYPE).alias("obj"),
-                    ),
-                    s("role", "TEXT", F.col("pred")),
-                    F.when(
-                        F.col("obj_type") != "",
-                        s("toolUsed", "TEXT", F.col("obj_type")),
-                    ),
-                ),
-                lambda x: x.isNotNull(),
-            )
+            F.when(F.col("kind") == "TURN", base_arr).otherwise(passthrough)
         ).alias("b"),
-    ).select(
-        "conv_id", "turn_idx", "b.kind", "b.subj", "b.pred", "b.obj_type", "b.obj"
-    )
-    return stmts.unionByName(base)
+    ).select("conv_id", "turn_idx", "b.kind", "b.subj", "b.pred", "b.obj_type", "b.obj")
