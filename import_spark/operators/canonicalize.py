@@ -130,3 +130,42 @@ def canonicalize_triples(
     return out.filter(
         ~((F.col("pred") == "sameAs") & (F.col("subj") == F.col("obj")))
     )
+
+
+# Size-gated driver fast path: sameAs alias graphs are tiny relative to
+# the statement table; below this edge count, union-find on the driver
+# replaces the distributed fixpoint (which stays available for big
+# graphs).
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def connected_components_fast(
+    edges: DataFrame, approx_edges: int | None = None
+) -> DataFrame | None:
+    """Driver union-find; None when too big (caller uses the loop)."""
+    n = approx_edges if approx_edges is not None else edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
+    if n > DRIVER_CC_MAX_EDGES:
+        return None
+    rows = edges.collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = find(r["src"]), find(r["dst"])
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    mapping = [(nd, find(nd)) for nd in list(parent)]
+    mapping = [(nd, c) for nd, c in mapping if nd != c]
+    spark = edges.sparkSession
+    if not mapping:
+        return spark.createDataFrame([("", "")], "node string, canon string").filter(
+            F.col("node") != ""
+        )
+    return spark.createDataFrame(mapping, "node string, canon string")

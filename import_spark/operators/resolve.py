@@ -166,3 +166,92 @@ def resolve_locals(
         .drop("err", "err2")
     )
     return ResolveResult(resolved=others.unionByName(ok), failed=failed, rounds=rounds)
+
+
+# ---------------------------------------------------------------------------
+# Size-gated driver fast path
+# ---------------------------------------------------------------------------
+# The def table is bounded by (locals-per-conversation x conversations)
+# and is orders of magnitude smaller than the statement table. Below
+# this threshold the fixpoint is a driver-side dict walk (microseconds)
+# instead of a 10-job Spark loop — the same in-memory resolution the
+# reference does (ExternalIdResolver caches, McfResolver per-graph
+# maps). Above it, the distributed loop in resolve_locals() runs.
+DRIVER_RESOLVE_MAX_DEFS = 2_000_000
+
+
+def _resolve_defs_driver(def_rows) -> tuple[list, list, list]:
+    """Pure-Python def resolution: → (resolved [(conv, local, dcid)],
+    divergent [(conv, local)], unresolved [(conv, local)])."""
+    targets: dict[tuple, set] = {}
+    for r in def_rows:
+        targets.setdefault((r["conv_id"], r["subj"]), set()).add(
+            (r["obj_type"], r["obj"])
+        )
+    divergent = [k for k, v in targets.items() if len(v) > 1]
+    clean = {k: next(iter(v)) for k, v in targets.items() if len(v) == 1}
+    resolved: dict[tuple, str] = {}
+    unresolved: list = []
+    for key, tgt in clean.items():
+        conv = key[0]
+        seen = {key}
+        cur = tgt
+        while True:
+            if cur[0] == "RESOLVED_REF":
+                resolved[key] = cur[1]
+                break
+            nxt = (conv, cur[1])
+            if nxt in seen or nxt not in clean:
+                unresolved.append(key)
+                break
+            seen.add(nxt)
+            cur = clean[nxt]
+    return (
+        [(c, l, d) for (c, l), d in resolved.items()],
+        divergent,
+        unresolved,
+    )
+
+
+def resolve_locals_fast(
+    linked: DataFrame, approx_defs: int | None = None
+) -> ResolveResult | None:
+    """Driver fast path; returns None when the def table is too big
+    (caller falls back to the distributed loop)."""
+    spark = linked.sparkSession
+    defs = linked.filter(F.col("kind") == "DEF").select(
+        "conv_id", "subj", "obj_type", "obj"
+    )
+    if approx_defs is None or approx_defs > DRIVER_RESOLVE_MAX_DEFS:
+        return None
+    rows = defs.collect()
+    res, div, unres = _resolve_defs_driver(rows)
+    schema_rl = "conv_id string, obj string, dcid string"
+    schema_cl = "conv_id string, obj string"
+    rmap = F.broadcast(spark.createDataFrame(res or [("", "", "")], schema_rl).filter(F.col("conv_id") != ""))
+    div_df = F.broadcast(spark.createDataFrame(div or [("", "")], schema_cl).filter(F.col("conv_id") != ""))
+    unres_df = F.broadcast(spark.createDataFrame(unres or [("", "")], schema_cl).filter(F.col("conv_id") != ""))
+
+    triples = linked.filter(F.col("kind") == "TRIPLE")
+    is_local = F.col("obj_type") == "UNRESOLVED_REF"
+    locals_used = triples.filter(is_local)
+    others = triples.filter(~is_local)
+    joined = locals_used.join(rmap, ["conv_id", "obj"], "left")
+    ok = (
+        joined.filter(F.col("dcid").isNotNull())
+        .withColumn("obj", F.col("dcid"))
+        .withColumn("obj_type", F.lit("RESOLVED_REF"))
+        .drop("dcid")
+    )
+    failed = (
+        joined.filter(F.col("dcid").isNull())
+        .drop("dcid")
+        .join(div_df.withColumn("err", F.lit("Resolution_DivergingDcids")), ["conv_id", "obj"], "left")
+        .join(unres_df.withColumn("err2", F.lit("Resolution_IrreplaceableLocalRef")), ["conv_id", "obj"], "left")
+        .withColumn(
+            "error",
+            F.coalesce(F.col("err"), F.col("err2"), F.lit("Resolution_OrphanLocalReference")),
+        )
+        .drop("err", "err2")
+    )
+    return ResolveResult(resolved=others.unionByName(ok), failed=failed, rounds=0)

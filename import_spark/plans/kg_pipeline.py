@@ -38,7 +38,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from import_spark.operators.canonicalize import canonicalize_triples, connected_components
+from import_spark.operators.canonicalize import (
+    canonicalize_triples,
+    connected_components,
+    connected_components_fast,
+)
 from import_spark.operators.extract import extract_and_link
 from import_spark.operators.link import dcid_map_from_df
 from import_spark.operators.merge import (
@@ -46,7 +50,7 @@ from import_spark.operators.merge import (
     dedupe_triples,
     drop_generic_types,
 )
-from import_spark.operators.resolve import resolve_locals
+from import_spark.operators.resolve import resolve_locals, resolve_locals_fast
 
 FINAL_COLS = ["subj", "pred", "obj_type", "obj", "conv_id", "turn_idx"]
 
@@ -136,10 +140,9 @@ def run_pipeline(
     kind_counts = {
         r["counter"]: r["value"] for r in m.rows if r["counter"].startswith("rows_")
     }
-    res = resolve_locals(
-        linked,
-        num_partitions=num_partitions,
-        approx_defs=kind_counts.get("rows_def", None),
+    n_defs = kind_counts.get("rows_def", None)
+    res = resolve_locals_fast(linked, approx_defs=n_defs) or resolve_locals(
+        linked, num_partitions=num_partitions, approx_defs=n_defs
     )
     resolved = res.resolved
     failed = res.failed.localCheckpoint()
@@ -151,7 +154,8 @@ def run_pipeline(
     same_as = resolved.filter(F.col("pred") == "sameAs").select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
-    components = connected_components(same_as).localCheckpoint()
+    fast_cc = connected_components_fast(same_as)
+    components = (fast_cc if fast_cc is not None else connected_components(same_as)).localCheckpoint()
     m.add("canonicalize", "nodes_rewritten", components.count())
     canon = canonicalize_triples(resolved, components)
 
