@@ -81,6 +81,11 @@ def parse_complex_value(value: str) -> ComplexValue | None:
     else:
         unit = fields_[0]
         vals = fields_[1:]
+    # Strip any namespace prefix from the unit (ComplexValueParser.java:142-147:
+    # everything up to and including the first ':' is cut, so '[dcs:Years 10]'
+    # behaves exactly like '[Years 10]').
+    if ":" in unit:
+        unit = unit.split(":", 1)[1]
 
     if not is_range:
         v = vals[0]

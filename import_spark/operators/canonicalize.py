@@ -29,18 +29,21 @@ MAX_CC_ROUNDS = 25
 def connected_components(
     edges: DataFrame,
     max_rounds: int = MAX_CC_ROUNDS,
-    edge_partitions: int | None = 1,
+    edge_partitions: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) → mapping(node, canon) with canon = min id in component.
 
     Only nodes appearing in an edge are returned (singletons map to
     themselves implicitly and need no rewrite).
 
-    ``edge_partitions`` pins the working partition count for the
-    fixpoint loop: sameAs edge sets are orders of magnitude smaller than
-    the statement table, so the default (1) makes every round a
-    single-task job locally; pass None (AQE decides) or a higher number
-    when the alias graph itself is large.
+    ``edge_partitions`` optionally pins the working partition count
+    for the fixpoint loop. Default None lets AQE size each round's
+    shuffles — the right choice whenever this distributed loop
+    actually runs, since callers route small edge sets to the driver
+    union-find fast path and only graphs above that gate reach here
+    (where a pinned tiny partition count would serialize every round
+    onto one task). Pass a small number only for tests that want a
+    deterministic single-task plan.
     """
     # undirected; both directions, dedupe
     e = (
@@ -99,13 +102,25 @@ def connected_components(
     )
 
 
+BROADCAST_CC_MAX_ROWS = 5_000_000
+
+
 def canonicalize_triples(
-    triples: DataFrame, components: DataFrame, broadcast_map: bool = True
+    triples: DataFrame, components: DataFrame, broadcast_map: bool | None = None
 ) -> DataFrame:
     """Rewrite subj and RESOLVED_REF objects to their component canon.
 
     ``sameAs`` self-loops created by the rewrite are dropped.
+
+    ``broadcast_map=None`` (default) size-gates the broadcast: maps up
+    to BROADCAST_CC_MAX_ROWS rows broadcast (two map-side joins, no
+    shuffle of the triple table); bigger maps fall back to shuffle
+    joins so the driver/executors never blow the broadcast limit.
     """
+    if broadcast_map is None:
+        broadcast_map = (
+            components.limit(BROADCAST_CC_MAX_ROWS + 1).count() <= BROADCAST_CC_MAX_ROWS
+        )
     cmap = F.broadcast(components) if broadcast_map else components
     out = (
         triples.join(

@@ -19,21 +19,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from import_spark.operators.canonicalize import connected_components
+from import_spark.operators.canonicalize import (
+    connected_components,
+    connected_components_fast,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate removal: keep the min id per identical text.
 
-    One shuffle on the 64-bit content hash (not the full text —
-    shuffle bytes stay small; collision check on the kept row only).
+    Groups by (64-bit hash, text): the shuffle is still keyed
+    primarily by the hash, map-side partial aggregation collapses
+    most duplicates before the exchange, and two distinct texts that
+    collide on xxhash64 stay distinct rows (collision-safe). min(id)
+    makes the kept id deterministic across runs.
     """
     h = F.xxhash64(F.col(text_col))
     return (
         df.withColumn("_h", h)
-        .groupBy("_h")
-        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col), F.count("*").alias("n_copies"))
+        .groupBy("_h", text_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
         .drop("_h")
+        .select(id_col, text_col, "n_copies")
     )
 
 
@@ -69,10 +76,19 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     band_size: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Band the signature into ``num_hashes/band_size`` buckets; docs
     sharing any band bucket are candidates. Self-join happens only
-    inside buckets (bounded by bucket size, the LSH point)."""
+    inside buckets (bounded by bucket size, the LSH point).
+
+    Hot-bucket cap: a degenerate bucket of B members (empty docs,
+    boilerplate) would emit B²/2 pairs. Buckets larger than
+    ``max_bucket_size`` instead emit a *star* — every member paired
+    with the bucket's min id — which preserves connectivity for the
+    downstream connected-components step at O(B) pairs. Such members
+    are near-certain duplicates of each other anyway.
+    """
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -88,20 +104,27 @@ def lsh_candidate_pairs(
     exploded = sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # per-(band,bucket) size + min id — one extra agg on the already
+    # shuffled keys; AQE reuses the exchange.
+    stats = exploded.groupBy("band", "bucket").agg(
+        F.count("*").alias("_bsz"), F.min(id_col).alias("_bmin")
     )
+    tagged = exploded.join(stats, ["band", "bucket"])
+    small = tagged.filter(F.col("_bsz") <= max_bucket_size)
+    big = tagged.filter(F.col("_bsz") > max_bucket_size)
+
+    a = small.alias("a")
+    b = small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    star_pairs = big.filter(F.col(id_col) != F.col("_bmin")).select(
+        F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return small_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_dedup(
@@ -111,17 +134,36 @@ def minhash_dedup(
     k: int = 5,
     num_hashes: int = 32,
     band_size: int = 4,
+    jaccard_threshold: float | None = None,
 ) -> DataFrame:
-    """Near-dup clustering: LSH pairs → connected components → (doc, canon)."""
+    """Near-dup clustering: LSH pairs → [exact-Jaccard verify] →
+    connected components → (doc, canon).
+
+    ``jaccard_threshold`` enables the standard post-LSH verify: exact
+    n-gram Jaccard is computed only on candidate pairs and pairs below
+    the threshold are discarded — this removes LSH false positives, so
+    (up to the tiny LSH miss probability) the output equals exact
+    all-pairs Jaccard clustering, without the O(n²) join.
+
+    Tries the size-gated driver union-find first (alias graphs are
+    tiny relative to the corpus); falls back to the distributed
+    fixpoint loop above the gate. Ids ride as zero-padded strings so
+    the CC min-label canon equals the numeric minimum.
+    """
     sh = shingles(df, text_col, id_col, k)
     sigs = minhash_signatures(sh, id_col, num_hashes)
     pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
-    comp = connected_components(
-        pairs.select(
-            F.col("id_a").cast("string").alias("src"),
-            F.col("id_b").cast("string").alias("dst"),
-        )
+    if jaccard_threshold is not None:
+        verified = ngram_jaccard_pairs(df, pairs, text_col, id_col, k)
+        pairs = verified.filter(F.col("jaccard") >= jaccard_threshold)
+    pad = "%020d"
+    edges = pairs.select(
+        F.format_string(pad, F.col("id_a")).alias("src"),
+        F.format_string(pad, F.col("id_b")).alias("dst"),
     )
+    comp = connected_components_fast(edges)
+    if comp is None:
+        comp = connected_components(edges)
     return comp.select(
         F.col("node").cast("long").alias(id_col), F.col("canon").cast("long").alias("canon_id")
     )

@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from import_spark.functions.complex_values import parse_complex_value
 from import_spark.functions.farmhash import long_id, long_id_batch
 from import_spark.functions.values import clean_numeric_string, is_number, is_valid_date
+from import_spark.vocabulary import place_dcid_prefix
 
 EXTRACT_SCHEMA = T.StructType(
     [
@@ -374,7 +375,7 @@ def _resolve_token(tok: pd.Series, dcid_map: dict) -> pd.Series:
         hits = pd.Series(
             [dcid_map.get((p, e)) for p, e in zip(props, exts)], index=props.index
         )
-        fallback = props.map(lambda p: "iso" if p == "isoCode" else p) + "/" + exts
+        fallback = props.map(place_dcid_prefix) + "/" + exts
         out[is_ext] = hits.fillna(fallback)
     return out
 

@@ -40,7 +40,12 @@ def link_statements(extracted: DataFrame, dcid_dict: DataFrame) -> DataFrame:
     input with EXT_ID rows rewritten to RESOLVED_REF.
     """
     dim = F.broadcast(prepare_dictionary(dcid_dict).withColumnRenamed("dcid", "_dict_dcid"))
-    prefix_expr = F.when(F.col("ext_prop") == "isoCode", F.lit("iso")).otherwise(F.col("ext_prop"))
+    # DcidGenerator.forPlace prefix mapping (isoCode→iso, nutsCode→nuts).
+    prefix_expr = (
+        F.when(F.col("ext_prop") == "isoCode", F.lit("iso"))
+        .when(F.col("ext_prop") == "nutsCode", F.lit("nuts"))
+        .otherwise(F.col("ext_prop"))
+    )
     linked = (
         extracted.join(
             dim,

@@ -45,10 +45,16 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def synth_media(spark, n: int = 64, feature_dim: int = 8) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic fake media table.
+
+    The payload is the ASCII hex digest of sha256("media/<i>") repeated
+    4× (256 bytes) — arbitrary enough to exercise the binary-column
+    plumbing, but ASCII so an external SQL oracle (DuckDB sha256 is
+    VARCHAR-only) can recompute the content hash independently.
+    """
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media/{i}".encode()).digest() * 4
+        payload = hashlib.sha256(f"media/{i}".encode()).hexdigest().encode() * 4
         kind = ["image", "audio", "video"][i % 3]
         rows.append(
             (

@@ -41,7 +41,7 @@ def _link(dict_map: dict, tok: str) -> str | None:
         hit = dict_map.get((prop, ext))
         if hit:
             return hit
-        prefix = "iso" if prop == "isoCode" else prop
+        prefix = {"isoCode": "iso", "nutsCode": "nuts"}.get(prop, prop)
         return f"{prefix}/{ext}"
     if mm and mm.group(1) == "dcid":
         return mm.group(2)

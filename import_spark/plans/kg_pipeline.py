@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from import_spark.operators.canonicalize import (
+    BROADCAST_CC_MAX_ROWS,
     canonicalize_triples,
     connected_components,
     connected_components_fast,
@@ -118,13 +119,29 @@ def run_pipeline(
     else:
         snap = os.path.join(tempfile.gettempdir(), f"import_spark_snap_{run_id}_{os.getpid()}")
         keep = False if keep_snapshot is None else keep_snapshot
-    if os.path.exists(os.path.join(snap, "_SUCCESS")):
+    # Resume is only valid if the snapshot was built from the SAME
+    # inputs: persist (text digest, dcid-dict digest) alongside it and
+    # compare before trusting _SUCCESS (stale run_id reuse otherwise
+    # silently serves an old extract+link).
+    dict_digest = (
+        dcid_dict.select(F.bit_xor(F.xxhash64(*dcid_dict.columns)).alias("d")).collect()[0]["d"]
+        or 0
+    )
+    digest_path = os.path.join(snap, "_input_digest.json")
+    cur_digest = {"text_digest": din, "dict_digest": dict_digest}
+    resume_ok = False
+    if os.path.exists(os.path.join(snap, "_SUCCESS")) and os.path.exists(digest_path):
+        with open(digest_path) as f:
+            resume_ok = json.load(f) == cur_digest
+    if resume_ok:
         m.add("link", "resumed_from_checkpoint", 1)
     else:
         linked_plan = extract_and_link(transcripts, dcid_map_from_df(dcid_dict))
         # kind-partitioned snapshot: DEF/ERROR scans touch only their
         # (tiny) files; TRIPLE scans skip them
         linked_plan.write.mode("overwrite").partitionBy("kind").parquet(snap)
+        with open(digest_path, "w") as f:
+            json.dump(cur_digest, f)
     linked = spark.read.parquet(snap)
 
     # counters: one pruned scan (kind), one pushdown scan (rare ERROR rows)
@@ -156,8 +173,12 @@ def run_pipeline(
     )
     fast_cc = connected_components_fast(same_as)
     components = (fast_cc if fast_cc is not None else connected_components(same_as)).localCheckpoint()
-    m.add("canonicalize", "nodes_rewritten", components.count())
-    canon = canonicalize_triples(resolved, components)
+    n_components = components.count()
+    m.add("canonicalize", "nodes_rewritten", n_components)
+    # reuse the counter for the broadcast size gate — no extra job
+    canon = canonicalize_triples(
+        resolved, components, broadcast_map=n_components <= BROADCAST_CC_MAX_ROWS
+    )
 
     # 6. merge + materialize (the single big shuffle IS the write layout)
     if check_generic_types:

@@ -53,22 +53,48 @@ FIXED_STAT_VAR_PROPS = {
     "measurementQualifier",
     "measurementDenominator",
 }
-# Props excluded from StatVar constraint hashing (Vocabulary NON_CONSTRAINT_STAT_VAR_PROPERTIES).
+# Props excluded from StatVar constraint hashing — the full reference set
+# (Vocabulary.java:244-285 NON_CONSTRAINT_STAT_VAR_PROPERTIES).
 NON_CONSTRAINT_STAT_VAR_PROPS = {
+    # Basic properties
     TYPE_OF,
     DCID,
-    NAME,
-    "description",
-    "label",
-    "alternateName",
-    "constraintProperties",
-    "memberOf",
     PROVENANCE,
+    "isPublic",
+    "localCuratorLevelId",
+    "url",
+    "memberOf",
+    NAME,
+    "label",
+    "description",
+    "descriptionUrl",
+    "alternateName",
+    "utteranceTemplate",
+    "source",
+    "footnote",
+    "keyString",
+    "resMCFFile",
+    # StatPop / StatVar properties (current + past)
     "populationType",
+    "populationGroup",
+    "location",
+    "childhoodLocation",
+    "constraintProperties",
     "measuredProperty",
     "statType",
-    "measurementQualifier",
     "measurementDenominator",
+    "measurementQualifier",
+    "censusACSTableId",
+    MEASUREMENT_METHOD,
+    SCALING_FACTOR,
+    UNIT,
+    "isNormalizable",
+    "denominatorForNormalization",
+    "observationProperties",
+    # Generated properties
+    "definition",
+    "linkedMember",
+    "linkedMemberOf",
 }
 
 # Schema reference properties (Vocabulary.java:308-318).
@@ -124,9 +150,14 @@ PLACE_RESOLVABLE_AND_ASSIGNABLE_IDS = [
 ID_PROP_PRIORITY = {p: i for i, p in enumerate(PLACE_RESOLVABLE_AND_ASSIGNABLE_IDS)}
 
 # dcid prefix per external-id property (DcidGenerator.forPlace,
-# DcidGenerator.java:213-229: prefix is the prop name, except isoCode→iso).
+# DcidGenerator.java:213-229: prefix is the prop name, except
+# isoCode→iso and nutsCode→nuts).
 def place_dcid_prefix(prop: str) -> str:
-    return "iso" if prop == "isoCode" else prop
+    if prop == "isoCode":
+        return "iso"
+    if prop == "nutsCode":
+        return "nuts"
+    return prop
 
 
 # dcid namespaces (DcidGenerator.java:24-27).
