@@ -104,6 +104,81 @@ def place_dcid(ext_ids: dict[str, str]) -> str | None:
     return None
 
 
+# --- C4: legacy Population/Observation dcids (DcidGenerator.java:237-335) ---
+
+ORDERED_LEGACY_OBS_KEY_PROPS = [
+    "observedNode", "observationDate", "measuredProperty",
+    "observationPeriod", "unit",
+    "measuredValue", "minValue", "maxValue", "sumValue", "meanValue",
+    "medianValue", "marginOfError", "measurementMethod",
+    "measurementResult", "stdError", "sampleSize",
+    "percentile10", "percentile25", "percentile75", "percentile90",
+    "meanStdError", "growthRate", "stdDeviationValue",
+    "confidenceIntervalLowerLimit", "confidenceIntervalUpperLimit",
+    "kurtosis", "skewness",
+    "measurementDenominator", "measurementQualifier", "scalingFactor",
+]
+LAST_REQUIRED_LEGACY_OBS_PROP_INDEX = ORDERED_LEGACY_OBS_KEY_PROPS.index(
+    "measuredProperty"
+)
+
+
+def legacy_obs_key_string(pvs: dict[str, str]) -> str | None:
+    """Ordered legacy-Observation key (DcidGenerator.java:305-335).
+
+    Returns None when a required prop is missing or the observedNode is
+    still a local ref."""
+    parts = []
+    for i, prop in enumerate(ORDERED_LEGACY_OBS_KEY_PROPS):
+        val = pvs.get(prop)
+        if val is None or val == "":
+            if i <= LAST_REQUIRED_LEGACY_OBS_PROP_INDEX:
+                return None
+            continue
+        if prop == "observedNode" and val.startswith(V.INTERNAL_REF_PREFIX):
+            return None
+        parts.append(f"{prop}={val}")
+    return "".join(parts)
+
+
+def legacy_obs_dcid(pvs: dict[str, str]) -> str | None:
+    key = legacy_obs_key_string(pvs)
+    if key is None:
+        return None
+    return V.DC_NAMESPACE + "o/" + long_id(key)
+
+
+def legacy_pop_key_string(pvs: dict[str, str], constraints: set[str] | None = None) -> str | None:
+    """Legacy StatisticalPopulation key (DcidGenerator.java:237-304):
+    popType + location + memberOf + sorted ``<cprop><value>`` pairs
+    (no '=' separators, matching the reference byte-for-byte).
+
+    ``pvs`` maps prop → first value; complex values must already be
+    rewritten to their dcids (the Mutator does this upstream)."""
+    pop_type = pvs.get("populationType", "")
+    location = pvs.get("location", "")
+    if not pop_type or not location:
+        return None
+    if location.startswith(V.INTERNAL_REF_PREFIX):
+        return None
+    cprops = sorted(
+        p
+        for p in pvs
+        if p not in V.NON_CONSTRAINT_STAT_VAR_PROPS
+        and (constraints is None or p in constraints)
+    )
+    parts = [pop_type, location, pvs.get("memberOf", "")]
+    parts += [f"{p}{pvs[p]}" for p in cprops]
+    return "".join(parts)
+
+
+def legacy_pop_dcid(pvs: dict[str, str], constraints: set[str] | None = None) -> str | None:
+    key = legacy_pop_key_string(pvs, constraints)
+    if key is None:
+        return None
+    return V.POP_NAMESPACE + long_id(key)
+
+
 def pandas_long_id(keys: pd.Series, namespace: str = "") -> pd.Series:
     """Vectorized (Arrow-batched) farmhash base32 id for a key column."""
     return keys.map(lambda k: (namespace + long_id(k)) if isinstance(k, str) else None)

@@ -240,6 +240,31 @@ def col_is_valid_dcid(c):
     )
 
 
+def col_is_valid_date(c):
+    """Column version of P6 (ISO-8601 per StringUtil.java:117-135):
+    length-gated pattern attempts, JVM-side via try_to_timestamp."""
+    from pyspark.sql import functions as F
+
+    n = F.length(c)
+
+    def try_fmt(fmt):
+        return F.try_to_timestamp(c, F.lit(fmt)).isNotNull()
+
+    return (
+        ((n == 4) & try_fmt("yyyy"))
+        | (n.isin(6, 7) & c.rlike(r"^\d{4}-\d{1,2}$") & try_fmt("yyyy-M"))
+        | (n.isin(8, 9, 10) & c.contains("-") & try_fmt("yyyy-M-d"))
+        | ((n == 6) & c.rlike(r"^\d{6}$") & try_fmt("yyyyMM"))
+        | ((n == 8) & c.rlike(r"^\d{8}$") & try_fmt("yyyyMMdd"))
+        | ((n == 16) & try_fmt("yyyy-MM-dd'T'HH:mm"))
+        | ((n == 19) & try_fmt("yyyy-MM-dd'T'HH:mm:ss"))
+        | ((n == 23) & try_fmt("yyyy-MM-dd'T'HH:mm:ss.SSS"))
+        | ((n == 29) & try_fmt("yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+        | c.rlike(r"^\d{5}$")
+        | c.rlike(r"^\d{7}$")
+    )
+
+
 def col_object_value_key(c):
     """P15: ``first16(trim(v)) + ':' + sha256(trim(v))`` literal-node key
     (PipelineUtils.java:450-455)."""

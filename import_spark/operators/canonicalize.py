@@ -158,10 +158,14 @@ def connected_components_fast(
     edges: DataFrame, approx_edges: int | None = None
 ) -> DataFrame | None:
     """Driver union-find; None when too big (caller uses the loop)."""
+    import pandas as pd
+
     n = approx_edges if approx_edges is not None else edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
     if n > DRIVER_CC_MAX_EDGES:
         return None
-    rows = edges.collect()
+    # Arrow collect (toPandas) — Row-object collect is ~5x slower and
+    # this is driver-serial time on the pipeline's critical path
+    pdf = edges.select("src", "dst").toPandas()
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -171,16 +175,17 @@ def connected_components_fast(
             x = parent[x]
         return x
 
-    for r in rows:
-        a, b = find(r["src"]), find(r["dst"])
+    for a0, b0 in pdf.itertuples(index=False, name=None):
+        a, b = find(a0), find(b0)
         if a != b:
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
     mapping = [(nd, find(nd)) for nd in list(parent)]
     mapping = [(nd, c) for nd, c in mapping if nd != c]
     spark = edges.sparkSession
+    schema = "node string, canon string"
     if not mapping:
-        return spark.createDataFrame([("", "")], "node string, canon string").filter(
-            F.col("node") != ""
-        )
-    return spark.createDataFrame(mapping, "node string, canon string")
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        pd.DataFrame(mapping, columns=["node", "canon"]), schema
+    )

@@ -1,0 +1,343 @@
+"""McfMutator — post-parse graph mutations (reference McfMutator.java:35-163).
+
+Three mutations over long-form node rows (node_id, prop, value_type,
+value, src_file):
+
+1. **Legacy-Observation value cleaning** (McfMutator.java:76-90,161-163):
+   stat-value props on ``*Observation`` nodes get spaces/commas/percent
+   stripped to prep for double conversion; a non-NUMBER/TEXT value is a
+   ``Mutator_InvalidObsValue`` error and the node passes through
+   unmutated.
+2. **Complex-value expansion** (McfMutator.java:93-104): every
+   ``COMPLEX_VALUE`` (``[Quantity ...]``/``[LatLong ...]``) is replaced
+   by a RESOLVED_REF to its computed dcid and a child node
+   (typeOf/name/value pvs) is added to the graph — one per distinct
+   dcid.
+3. **StatVar synthesis** (McfMutator.java:110-158):
+   ``constraintProperties`` (all props outside the non-constraint set),
+   a ``definition`` ("md=..,mq=..,st=..,mp=..,pt=..,<k=v...>",
+   McfUtil.java:229-270) and a generated ``name``
+   (StatVarNameGenerator.java format subset — statType prefix,
+   "<MeasuredProp> Of <PopulationType>", ": constraint values") are
+   added when missing.
+
+Spark-first: mutations 1 and 3 are pure DataFrame transforms (one
+groupBy per node for the synthesis pass); mutation 2 parses only the
+DISTINCT complex strings through a driver/pandas pass and broadcasts
+the lookup back — complex values are a bounded vocabulary, the node
+table never funnels through Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from import_spark import vocabulary as V
+from import_spark.functions.complex_values import parse_complex_value
+
+STAT_VALUE_PROPS = [
+    "measuredValue",
+    "sumValue",
+    "meanValue",
+    "minValue",
+    "maxValue",
+    "medianValue",
+    "marginOfError",
+    "stdError",
+    "meanStdError",
+    "growthRate",
+    "percentile10",
+    "percentile25",
+    "percentile75",
+    "percentile90",
+]
+
+_NODE_COLS = ["node_id", "prop", "value_type", "value", "src_file"]
+
+
+def _is_legacy_obs_type(col):
+    return col.endswith("Observation") & (col != "StatVarObservation")
+
+
+def _node_type_flags(nodes: DataFrame) -> DataFrame:
+    """(node_id, is_legacy_obs, is_statvar) from typeOf rows."""
+    return (
+        nodes.filter(F.col("prop") == "typeOf")
+        .groupBy("node_id")
+        .agg(
+            F.max(
+                F.col("value").endswith("Observation")
+                & (F.col("value") != "StatVarObservation")
+            ).alias("is_legacy_obs"),
+            F.max(F.col("value") == "StatisticalVariable").alias("is_statvar"),
+        )
+    )
+
+
+def format_token(token_col):
+    """StatVarNameGenerator.formatToken (StatVarNameGenerator.java:70-90)
+    as a native column expression: strip namespace, underscores →
+    spaces, split camelCase / letter-digit boundaries, Title Case."""
+    c = F.regexp_replace(token_col, r"^[A-Za-z]+:", "")
+    c = F.regexp_replace(c, "_", " ")
+    c = F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1 $2")
+    c = F.regexp_replace(c, r"([A-Z])([A-Z][a-z])", r"$1 $2")
+    c = F.regexp_replace(c, r"([a-zA-Z])([0-9])", r"$1 $2")
+    c = F.regexp_replace(c, r"([0-9])([a-zA-Z])", r"$1 $2")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.initcap(c)
+
+
+def _complex_lookup(nodes: DataFrame) -> DataFrame:
+    """Distinct COMPLEX_VALUE strings → (value, dcid, type_of, name,
+    pvs array<struct<prop,value_type,value>>)."""
+    spark = nodes.sparkSession
+    distinct_vals = [
+        r["value"]
+        for r in nodes.filter(F.col("value_type") == "COMPLEX_VALUE")
+        .select("value")
+        .distinct()
+        .collect()
+    ]
+    rows = []
+    for v in distinct_vals:
+        cv = parse_complex_value(v)
+        if cv is None:
+            continue
+        rows.append((v, cv.dcid, cv.type_of, cv.name, list(cv.pvs)))
+    schema = (
+        "value string, dcid string, type_of string, cname string, "
+        "pvs array<struct<prop:string,value_type:string,value:string>>"
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["value", "dcid", "type_of", "cname", "pvs"]), schema
+    )
+
+
+def mutate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Apply McfMutator transforms → (mutated nodes, error rows).
+
+    Error rows: (node_id, counter, message)."""
+    flags = F.broadcast(_node_type_flags(nodes))
+    n = nodes.join(flags, "node_id", "left").na.fill(
+        {"is_legacy_obs": False, "is_statvar": False}
+    )
+
+    # --- errors ---
+    no_type = (
+        nodes.select("node_id")
+        .distinct()
+        .join(flags.select("node_id"), "node_id", "left_anti")
+        .select(
+            "node_id",
+            F.lit("Mutator_MissingTypeOf").alias("counter"),
+            F.concat(F.lit("Missing typeOf value for node :: node: '"), F.col("node_id"), F.lit("'")).alias("message"),
+        )
+    )
+    is_stat_val = F.col("prop").isin(*STAT_VALUE_PROPS)
+    bad_obs_rows = n.filter(
+        F.col("is_legacy_obs") & is_stat_val & ~F.col("value_type").isin("NUMBER", "TEXT")
+    )
+    bad_obs_errors = bad_obs_rows.select(
+        "node_id",
+        F.lit("Mutator_InvalidObsValue").alias("counter"),
+        F.concat(
+            F.lit("Unexpected type for Observation value; must be number or text :: type: '"),
+            F.col("value_type"), F.lit("', property: '"), F.col("prop"),
+            F.lit("', node: '"), F.col("node_id"), F.lit("'"),
+        ).alias("message"),
+    )
+    errors = no_type.unionByName(bad_obs_errors)
+    # reference semantics: a node with an invalid obs value passes
+    # through UNMUTATED (McfMutator.java:77-90 returns early)
+    bad_nodes = F.broadcast(bad_obs_rows.select("node_id").distinct().withColumn("_skip", F.lit(True)))
+    n = n.join(bad_nodes, "node_id", "left")
+
+    # --- 1. legacy obs value cleaning ---
+    clean = F.translate(F.col("value"), " ,%", "")
+    n = n.withColumn(
+        "value",
+        F.when(
+            F.col("is_legacy_obs") & is_stat_val & F.col("_skip").isNull()
+            & F.col("value_type").isin("NUMBER", "TEXT"),
+            clean,
+        ).otherwise(F.col("value")),
+    )
+
+    # --- 2. complex-value expansion ---
+    lut = F.broadcast(_complex_lookup(nodes))
+    rewrite_cv = (
+        (F.col("value_type") == "COMPLEX_VALUE")
+        & F.col("_cv_dcid").isNotNull()
+        & F.col("_skip").isNull()
+    )
+    n = (
+        n.withColumn("_ck", F.when(F.col("value_type") == "COMPLEX_VALUE", F.col("value")))
+        .join(
+            lut.select(F.col("value").alias("_ck"), F.col("dcid").alias("_cv_dcid")),
+            "_ck",
+            "left",
+        )
+        .withColumn("value", F.when(rewrite_cv, F.col("_cv_dcid")).otherwise(F.col("value")))
+        .withColumn(
+            "value_type",
+            F.when(rewrite_cv, F.lit("RESOLVED_REF")).otherwise(F.col("value_type")),
+        )
+        .select(*_NODE_COLS, "is_statvar", "_skip")
+    )
+    # child nodes: one per distinct complex dcid
+    child = lut.select(
+        F.col("dcid").alias("node_id"),
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.lit("typeOf").alias("prop"), F.lit("RESOLVED_REF").alias("value_type"), F.col("type_of").alias("value")),
+                    F.struct(F.lit("name").alias("prop"), F.lit("TEXT").alias("value_type"), F.col("cname").alias("value")),
+                    F.struct(F.lit("dcid").alias("prop"), F.lit("TEXT").alias("value_type"), F.col("dcid").alias("value")),
+                ),
+                F.col("pvs"),
+            )
+        ).alias("pv"),
+    ).select(
+        "node_id",
+        F.col("pv.prop").alias("prop"),
+        F.col("pv.value_type").alias("value_type"),
+        F.col("pv.value").alias("value"),
+        F.lit("").alias("src_file"),
+    ).dropDuplicates(["node_id", "prop", "value"])
+
+    # --- 3. StatVar synthesis (two-level agg: first-value per prop,
+    # then one map per node — duplicate-safe for multi-value props,
+    # matching the reference's first-typed-value pick) ---
+    sv_rows = n.filter(F.col("is_statvar") & F.col("_skip").isNull())
+    non_constraint = list(V.NON_CONSTRAINT_STAT_VAR_PROPS)
+    core_props = [
+        "measurementDenominator", "measurementQualifier",
+        "statType", "measuredProperty", "populationType",
+    ]
+    sv_pv = sv_rows.groupBy("node_id", "prop").agg(F.min("value").alias("value"))
+    sv_agg = sv_pv.groupBy("node_id").agg(
+        F.sort_array(
+            F.collect_set(F.when(~F.col("prop").isin(*non_constraint), F.col("prop")))
+        ).alias("cprops"),
+        F.max(F.when(F.col("prop") == "definition", True)).alias("has_def"),
+        F.max(F.when(F.col("prop") == "name", True)).alias("has_name"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("prop").isin(*core_props), F.struct(F.col("prop"), F.col("value")))
+            )
+        ).alias("core"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    ~F.col("prop").isin(*non_constraint),
+                    F.struct(F.col("prop"), F.col("value")),
+                )
+            )
+        ).alias("cmap"),
+    )
+
+    strip_ns = lambda c: F.regexp_replace(c, r"^[A-Za-z]+:", "")  # noqa: E731
+    core = lambda k: F.col("core").getItem(k)  # noqa: E731
+    def_parts = F.filter(
+        F.concat(
+            F.array(
+                F.when(core("measurementDenominator").isNotNull(), F.concat(F.lit("md="), core("measurementDenominator"))),
+                F.when(core("measurementQualifier").isNotNull(), F.concat(F.lit("mq="), core("measurementQualifier"))),
+                F.when(
+                    core("statType").isNotNull() & (core("statType") != "measuredValue"),
+                    F.concat(F.lit("st="), core("statType")),
+                ),
+                F.when(core("measuredProperty").isNotNull(), F.concat(F.lit("mp="), core("measuredProperty"))),
+                F.when(core("populationType").isNotNull(), F.concat(F.lit("pt="), core("populationType"))),
+            ),
+            F.transform(
+                F.col("cprops"),
+                lambda p: F.concat(p, F.lit("="), strip_ns(F.element_at(F.col("cmap"), p))),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # name: "[StatType ]<MeasuredProp> Of <PopulationType>[: v1, v2]"
+    # (StatVarNameGenerator format subset: statType prefix for
+    # non-measuredValue, measure-and-pop, constraint values)
+    name_prefix = F.when(
+        core("statType").isNotNull() & (core("statType") != "measuredValue"),
+        F.concat(format_token(F.regexp_replace(core("statType"), "Value$", "")), F.lit(" ")),
+    ).otherwise(F.lit(""))
+    name_mid = F.concat_ws(
+        " Of ",
+        F.filter(
+            F.array(format_token(core("measuredProperty")), format_token(core("populationType"))),
+            lambda x: x.isNotNull() & (x != ""),
+        ),
+    )
+    name_constraints = F.when(
+        F.size("cprops") > 0,
+        F.concat(
+            F.lit(": "),
+            F.concat_ws(
+                ", ",
+                F.transform(
+                    F.col("cprops"),
+                    lambda p: format_token(F.element_at(F.col("cmap"), p)),
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+
+    synth = sv_agg.select(
+        "node_id",
+        F.filter(
+            F.concat(
+                F.transform(
+                    F.col("cprops"),
+                    lambda p: F.struct(
+                        F.lit("constraintProperties").alias("prop"),
+                        F.lit("RESOLVED_REF").alias("value_type"),
+                        p.alias("value"),
+                    ),
+                ),
+                F.array(
+                    F.when(
+                        F.col("has_def").isNull(),
+                        F.struct(
+                            F.lit("definition").alias("prop"),
+                            F.lit("TEXT").alias("value_type"),
+                            F.concat_ws(",", def_parts).alias("value"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("has_name").isNull() & (name_mid != ""),
+                        F.struct(
+                            F.lit("name").alias("prop"),
+                            F.lit("TEXT").alias("value_type"),
+                            F.concat(name_prefix, name_mid, name_constraints).alias("value"),
+                        ),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("rows"),
+    )
+    sv_new = synth.select(
+        "node_id", F.explode("rows").alias("pv")
+    ).select(
+        "node_id",
+        F.col("pv.prop").alias("prop"),
+        F.col("pv.value_type").alias("value_type"),
+        F.col("pv.value").alias("value"),
+        F.lit("").alias("src_file"),
+    )
+
+    out = (
+        n.select(*_NODE_COLS)
+        .unionByName(child)
+        .unionByName(sv_new)
+    )
+    return out, errors

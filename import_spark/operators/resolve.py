@@ -182,12 +182,13 @@ DRIVER_RESOLVE_MAX_DEFS = 2_000_000
 
 def _resolve_defs_driver(def_rows) -> tuple[list, list, list]:
     """Pure-Python def resolution: → (resolved [(conv, local, dcid)],
-    divergent [(conv, local)], unresolved [(conv, local)])."""
+    divergent [(conv, local)], unresolved [(conv, local)]).
+
+    ``def_rows`` is any iterable of (conv_id, subj, obj_type, obj)
+    tuples (e.g. pandas ``itertuples``)."""
     targets: dict[tuple, set] = {}
-    for r in def_rows:
-        targets.setdefault((r["conv_id"], r["subj"]), set()).add(
-            (r["obj_type"], r["obj"])
-        )
+    for conv_id, subj, obj_type, obj in def_rows:
+        targets.setdefault((conv_id, subj), set()).add((obj_type, obj))
     divergent = [k for k, v in targets.items() if len(v) > 1]
     clean = {k: next(iter(v)) for k, v in targets.items() if len(v) == 1}
     resolved: dict[tuple, str] = {}
@@ -213,24 +214,68 @@ def _resolve_defs_driver(def_rows) -> tuple[list, list, list]:
     )
 
 
+@dataclass
+class ResolvedMaps:
+    """Outcome of the driver-side def fixpoint, as broadcastable DFs.
+
+    ``rmap``: (conv_id, obj, dcid) — local name (as it appears in an
+    UNRESOLVED_REF ``obj``) → resolved dcid. ``divergent`` /
+    ``unresolved``: (conv_id, obj) quarantine categories."""
+
+    rmap: DataFrame
+    divergent: DataFrame
+    unresolved: DataFrame
+
+
+def resolve_defs_fast(
+    linked: DataFrame, approx_defs: int | None = None
+) -> ResolvedMaps | None:
+    """Driver fast path for the def fixpoint: Arrow-collect the (small)
+    DEF partition, walk chains in pure Python, return the resolution
+    maps as broadcast-ready DataFrames. None when the def table exceeds
+    the gate (caller falls back to the distributed loop).
+
+    Arrow both directions: ``toPandas`` for the collect and
+    ``createDataFrame(pandas)`` for the return — ~6x faster than
+    Row-object collect + tuple-list createDataFrame at 10^5 defs,
+    which matters because this is driver-serial time that caps the
+    pipeline's scaling efficiency.
+    """
+    import pandas as pd
+
+    spark = linked.sparkSession
+    if approx_defs is None or approx_defs > DRIVER_RESOLVE_MAX_DEFS:
+        return None
+    defs_pdf = (
+        linked.filter(F.col("kind") == "DEF")
+        .select("conv_id", "subj", "obj_type", "obj")
+        .toPandas()
+    )
+    res, div, unres = _resolve_defs_driver(
+        defs_pdf.itertuples(index=False, name=None)
+    )
+
+    def _df(rows: list, cols: list[str], schema: str) -> DataFrame:
+        if not rows:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
+
+    return ResolvedMaps(
+        rmap=F.broadcast(_df(res, ["conv_id", "obj", "dcid"], "conv_id string, obj string, dcid string")),
+        divergent=F.broadcast(_df(div, ["conv_id", "obj"], "conv_id string, obj string")),
+        unresolved=F.broadcast(_df(unres, ["conv_id", "obj"], "conv_id string, obj string")),
+    )
+
+
 def resolve_locals_fast(
     linked: DataFrame, approx_defs: int | None = None
 ) -> ResolveResult | None:
     """Driver fast path; returns None when the def table is too big
     (caller falls back to the distributed loop)."""
-    spark = linked.sparkSession
-    defs = linked.filter(F.col("kind") == "DEF").select(
-        "conv_id", "subj", "obj_type", "obj"
-    )
-    if approx_defs is None or approx_defs > DRIVER_RESOLVE_MAX_DEFS:
+    maps = resolve_defs_fast(linked, approx_defs=approx_defs)
+    if maps is None:
         return None
-    rows = defs.collect()
-    res, div, unres = _resolve_defs_driver(rows)
-    schema_rl = "conv_id string, obj string, dcid string"
-    schema_cl = "conv_id string, obj string"
-    rmap = F.broadcast(spark.createDataFrame(res or [("", "", "")], schema_rl).filter(F.col("conv_id") != ""))
-    div_df = F.broadcast(spark.createDataFrame(div or [("", "")], schema_cl).filter(F.col("conv_id") != ""))
-    unres_df = F.broadcast(spark.createDataFrame(unres or [("", "")], schema_cl).filter(F.col("conv_id") != ""))
+    rmap, div_df, unres_df = maps.rmap, maps.divergent, maps.unresolved
 
     triples = linked.filter(F.col("kind") == "TRIPLE")
     is_local = F.col("obj_type") == "UNRESOLVED_REF"

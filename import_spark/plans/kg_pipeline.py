@@ -51,7 +51,7 @@ from import_spark.operators.merge import (
     dedupe_triples,
     drop_generic_types,
 )
-from import_spark.operators.resolve import resolve_locals, resolve_locals_fast
+from import_spark.operators.resolve import resolve_defs_fast, resolve_locals
 
 FINAL_COLS = ["subj", "pred", "obj_type", "obj", "conv_id", "turn_idx"]
 
@@ -144,35 +144,97 @@ def run_pipeline(
             json.dump(cur_digest, f)
     linked = spark.read.parquet(snap)
 
-    # counters: one pruned scan (kind), one pushdown scan (rare ERROR rows)
-    for r in linked.groupBy("kind").count().collect():
-        m.add("extract", f"rows_{r['kind'].lower()}", r["count"])
-    err_counts = (
-        linked.filter(F.col("kind") == "ERROR").groupBy("pred").count().collect()
-    )
-    for r in err_counts:
-        m.add("extract", r["pred"], r["count"])
+    # counters: ONE pruned scan — (kind, pred) covers the per-kind row
+    # totals AND the per-counter ERROR breakdown (pred carries the
+    # counter name on ERROR rows). kind is the partition column and
+    # pred is the only data column read.
+    kp = linked.groupBy("kind", "pred").count().collect()
+    kind_counts: dict[str, int] = {}
+    for r in kp:
+        kind_counts[r["kind"]] = kind_counts.get(r["kind"], 0) + r["count"]
+    for k in sorted(kind_counts):
+        m.add("extract", f"rows_{k.lower()}", kind_counts[k])
+    for r in kp:
+        if r["kind"] == "ERROR":
+            m.add("extract", r["pred"], r["count"])
 
-    # 4. resolve (the DEF counter sizes its broadcast decision — no extra job)
-    kind_counts = {
-        r["counter"]: r["value"] for r in m.rows if r["counter"].startswith("rows_")
-    }
-    n_defs = kind_counts.get("rows_def", None)
-    res = resolve_locals_fast(linked, approx_defs=n_defs) or resolve_locals(
-        linked, num_partitions=num_partitions, approx_defs=n_defs
-    )
-    resolved = res.resolved
-    failed = res.failed.localCheckpoint()
-    m.add("resolve", "rounds", res.rounds)
+    # 4-6. resolve → canonicalize → merge.
+    #
+    # Fast path (defs fit the driver gate — the common shape: locals are
+    # bounded per conversation): the def fixpoint runs driver-side and
+    # every downstream consumer is a broadcast join, so the big TRIPLE
+    # table is scanned exactly twice after the snapshot — one narrow
+    # pass for the failed/sameAs side-outputs, one fused
+    # resolve+canonicalize+dedupe+write pass. The distributed fallback
+    # (defs above the gate) keeps the iterative resolver loop.
+    n_defs = kind_counts.get("DEF", 0)
+    triples = linked.filter(F.col("kind") == "TRIPLE")
+    is_local = F.col("obj_type") == "UNRESOLVED_REF"
+    maps = resolve_defs_fast(linked, approx_defs=n_defs)
+    if maps is not None:
+        m.add("resolve", "rounds", 0)
+        # ONE narrow side-scan feeds both small side-outputs (the
+        # failed quarantine and the sameAs edge set): filter to the
+        # union of the rows either needs, join the broadcast map once,
+        # materialize the (small) result, then derive both from it.
+        side = (
+            triples.filter(is_local | (F.col("pred") == "sameAs"))
+            .join(maps.rmap.withColumnRenamed("dcid", "_dc"), ["conv_id", "obj"], "left")
+            .localCheckpoint()
+        )
+        failed = (
+            side.filter(is_local & F.col("_dc").isNull())
+            .drop("_dc")
+            .join(maps.divergent.withColumn("err", F.lit("Resolution_DivergingDcids")), ["conv_id", "obj"], "left")
+            .join(maps.unresolved.withColumn("err2", F.lit("Resolution_IrreplaceableLocalRef")), ["conv_id", "obj"], "left")
+            .withColumn(
+                "error",
+                F.coalesce(F.col("err"), F.col("err2"), F.lit("Resolution_OrphanLocalReference")),
+            )
+            .drop("err", "err2")
+        )
+        edges = (
+            side.filter((F.col("pred") == "sameAs") & (~is_local | F.col("_dc").isNotNull()))
+            .select(
+                F.col("subj").alias("src"),
+                F.when(is_local, F.col("_dc")).otherwise(F.col("obj")).alias("dst"),
+            )
+        )
+        # the fused final pass: resolve locals inline (dropping failed
+        # rows — they are quarantined above), then canonicalize
+        # join on a nulled key so only local-ref rows can match the map
+        # (null join keys never match — non-local rows pass through)
+        resolved = (
+            triples.withColumn("_lk", F.when(is_local, F.col("obj")))
+            .join(
+                maps.rmap.select(
+                    "conv_id", F.col("obj").alias("_lk"), F.col("dcid").alias("_dc")
+                ),
+                ["conv_id", "_lk"],
+                "left",
+            )
+            .filter(~(is_local & F.col("_dc").isNull()))
+            .withColumn("obj", F.coalesce(F.col("_dc"), F.col("obj")))
+            .withColumn(
+                "obj_type",
+                F.when(is_local, F.lit("RESOLVED_REF")).otherwise(F.col("obj_type")),
+            )
+            .drop("_dc", "_lk")
+        )
+    else:
+        res = resolve_locals(linked, num_partitions=num_partitions, approx_defs=n_defs)
+        resolved = res.resolved
+        failed = res.failed.localCheckpoint()
+        m.add("resolve", "rounds", res.rounds)
+        edges = resolved.filter(F.col("pred") == "sameAs").select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
     for r in failed.groupBy("error").count().collect():
         m.add("resolve", r["error"], r["count"])
 
-    # 5. canonicalize (sameAs edges: one pruned scan of the snapshot)
-    same_as = resolved.filter(F.col("pred") == "sameAs").select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst")
-    )
-    fast_cc = connected_components_fast(same_as)
-    components = (fast_cc if fast_cc is not None else connected_components(same_as)).localCheckpoint()
+    # 5. canonicalize (sameAs connected components)
+    fast_cc = connected_components_fast(edges)
+    components = (fast_cc if fast_cc is not None else connected_components(edges)).localCheckpoint()
     n_components = components.count()
     m.add("canonicalize", "nodes_rewritten", n_components)
     # reuse the counter for the broadcast size gate — no extra job
