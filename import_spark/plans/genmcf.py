@@ -1,0 +1,123 @@
+"""``dc-import genmcf`` — TMCF × CSV (+ instance MCF) → resolved MCF.
+
+The reference's #1 user entry point (Processor.java:59-147,299-407):
+
+1. parse/expand — TMCF template × CSV rows → instance statements
+   (TmcfCsvParser, our sources/tmcf.py); instance MCF files parsed the
+   same long form (McfParser, our sources/mcf.py)
+2. McfMutator.mutate (McfMutator.java:35-47) — complex-value → child
+   nodes, legacy-obs value cleaning, StatVar synthesis
+3. McfChecker.check (McfChecker.java:62-98) — per-node sanity suite →
+   counters (nodes with errors still flow on, like the reference:
+   Processor.java:330-345 writes them unless resolution quarantines)
+4. McfResolver (McfResolver.java:39-128) — alternating local-ref
+   replacement ⇄ dcid assignment to fixpoint; failures quarantined
+5. write — resolved nodes as MCF text (``table_mcf_nodes``), failed
+   nodes separately (``failed_table_mcf_nodes``), ``report.json``
+   (LogWrapper.persistLog model) — the WriterPair split of
+   Processor.java:315-320.
+
+Spark shape: the expansion is one mapInPandas pass over the CSV scan;
+mutator/checker are JVM-side column passes; the resolver touches only
+the shrinking ref/dcid working sets per round; the statement table is
+rewritten once. Equivalent semantics to
+``dc-import genmcf tmcf csv...`` in LOCAL resolution mode.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from import_spark.operators.mcf_checker import check_nodes, failed_node_ids
+from import_spark.operators.mcf_mutator import mutate_nodes
+from import_spark.operators.mcf_resolver import resolve_graph
+from import_spark.report import build_report, write_report
+from import_spark.sources.mcf import write_mcf
+from import_spark.sources.tmcf import expand_template
+
+
+@dataclass
+class GenMcfResult:
+    nodes: DataFrame  # resolved long-form statements
+    failed: DataFrame  # failed-node statements (+ error)
+    errors: DataFrame  # (node_id, level, counter, message)
+    report: dict = field(default_factory=dict)
+    rounds: int = 0
+
+
+def run_genmcf(
+    spark: SparkSession,
+    tmcf_text: str,
+    csv_df: DataFrame | None = None,
+    instance_nodes: DataFrame | None = None,
+    row_id_col: str | None = None,
+    out_dir: str | None = None,
+    assign_statvar_dcids: bool = True,
+) -> GenMcfResult:
+    """End-to-end genmcf. ``csv_df``: the table scan; ``instance_nodes``:
+    optional pre-parsed long-form MCF rows (read_mcf output) unioned in
+    like Processor.processNodes."""
+    stmts = None
+    if csv_df is not None:
+        stmts = expand_template(csv_df, tmcf_text, row_id_col=row_id_col)
+    if instance_nodes is not None:
+        stmts = (
+            instance_nodes
+            if stmts is None
+            else stmts.unionByName(instance_nodes.select(*stmts.columns))
+        )
+    if stmts is None:
+        raise ValueError("need csv_df and/or instance_nodes")
+
+    # 2. mutate
+    mutated, mut_errors = mutate_nodes(stmts)
+    mutated = mutated.localCheckpoint()
+
+    # 3. check (sanity suite; counters only — the resolver decides
+    # quarantine, matching Processor.java:330-345)
+    check_errors = check_nodes(mutated)
+
+    # 4. resolve
+    res = resolve_graph(mutated, assign_statvar_dcids=assign_statvar_dcids)
+
+    errors = (
+        mut_errors.withColumn("level", F.lit("LEVEL_ERROR"))
+        .select("node_id", "level", "counter", "message")
+        .unionByName(check_errors.select("node_id", "level", "counter", "message"))
+        .unionByName(
+            res.errors.withColumn("level", F.lit("LEVEL_ERROR")).select(
+                "node_id", "level", "counter", "message"
+            )
+        )
+        .localCheckpoint()
+    )
+
+    # counters (Processor.java:395-397)
+    n_nodes = mutated.select("node_id").distinct().count()
+    n_failed_sanity = failed_node_ids(errors).count()
+    info = {
+        "NumNodeSuccesses": n_nodes - n_failed_sanity,
+        "NumNodesProcessed": n_nodes,
+    }
+    report = build_report(errors, info_counters=info)
+
+    # 5. write
+    if out_dir:
+        write_mcf(res.resolved, os.path.join(out_dir, "table_mcf_nodes"))
+        write_mcf(
+            res.failed.select([c for c in res.failed.columns if c != "error"]),
+            os.path.join(out_dir, "failed_table_mcf_nodes"),
+        )
+        write_report(report, out_dir)
+
+    return GenMcfResult(
+        nodes=res.resolved,
+        failed=res.failed,
+        errors=errors,
+        report=report,
+        rounds=res.rounds,
+    )

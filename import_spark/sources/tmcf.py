@@ -85,11 +85,73 @@ def parse_tmcf(text: str) -> list[TemplateNode]:
     return [nodes[k] for k in order]
 
 
+def _typed_values_vec(prop: str, vals: pd.Series) -> pd.DataFrame:
+    """Vectorized parse_typed_value for a FIXED prop over a value Series
+    (McfParser.java:336-437 semantics, identical to the scalar P1
+    function). Returns columns (value_type, value); malformed complex
+    values get value_type None (callers drop them, mirroring the
+    per-row ``tv is None`` skip)."""
+    import numpy as np
+
+    expect_ref = V_IS_REF(prop)
+    v = vals.astype(str)
+    quoted = v.str.startswith('"') & v.str.endswith('"') & (v.str.len() > 1)
+    if expect_ref:
+        # refs strip an enclosing quote pair then continue classification
+        v = v.where(~quoted, v.str.slice(1, -1))
+    is_quoted_text = (~expect_ref) & vals.astype(str).str.startswith('"')
+    text_stripped = vals.astype(str).where(~quoted, vals.astype(str).str.slice(1, -1))
+
+    bracket = v.str.startswith("[")
+    closed = v.str.endswith("]")
+    has_colon = v.str.contains(":", regex=False)
+    is_global = v.str.match(r"^(dcid|dcs|schema):")
+    is_local = v.str.startswith("l:")
+    after_colon = v.str.replace(r"^[^:]*:", "", regex=True, n=1)
+    numeric = v.str.match(
+        r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$|^[+-]?Infinity$|^NaN$"
+    ) | v.str.lower().isin(["true", "false", "1", "0"])
+
+    vt = np.select(
+        [
+            is_quoted_text,
+            bracket & closed,
+            bracket & ~closed,
+            has_colon & is_global,
+            has_colon & is_local,
+            pd.Series(expect_ref, index=v.index),
+            numeric,
+        ],
+        ["TEXT", "COMPLEX_VALUE", None, "RESOLVED_REF", "UNRESOLVED_REF", "RESOLVED_REF", "NUMBER"],
+        default="TEXT",
+    )
+    out_val = np.select(
+        [is_quoted_text, bracket, has_colon & is_global],
+        [text_stripped, v, after_colon],
+        default=v,
+    )
+    return pd.DataFrame({"value_type": vt, "value": out_val}, index=vals.index)
+
+
+def V_IS_REF(prop: str) -> bool:
+    from import_spark import vocabulary as V
+
+    return V.is_reference_property(prop)
+
+
 def _expand_batch(
     pdf: pd.DataFrame, template: list[TemplateNode], row_id_col: str
 ) -> pd.DataFrame:
-    rows: list[tuple] = []
-    # per-template-node dcid column, if the template assigns one (T2 pass 1)
+    """Vectorized template expansion (T1): per template term, ONE pandas
+    column pass over the whole batch — no per-row Python. Multi-value
+    cells (the quote/comma minority) route through the scalar
+    split_and_strip on their distinct values only."""
+    import numpy as np
+
+    frames: list[pd.DataFrame] = []
+    rowid = pdf[row_id_col].astype(str)
+
+    # per-template-node dcid source, if the template assigns one (T2 pass 1)
     dcid_cols = {
         tn.entity: next((p for pr, k, p in tn.terms if pr == "dcid" and k == "COLUMN"), None)
         for tn in template
@@ -98,58 +160,108 @@ def _expand_batch(
         tn.entity: next((p for pr, k, p in tn.terms if pr == "dcid" and k == "CONST"), None)
         for tn in template
     }
-    for _, row in pdf.iterrows():
-        rowid = row[row_id_col]
-        # pass 1: node ids (dcid-first, TmcfCsvParser.java:156-230)
-        node_ids: dict[str, str] = {}
-        is_dcid: dict[str, bool] = {}
-        for tn in template:
-            dc = None
-            if dcid_cols[tn.entity] and pd.notna(row.get(dcid_cols[tn.entity])):
-                dc = str(row[dcid_cols[tn.entity]])
-                tv = parse_typed_value("dcid", dc)
-                dc = tv[1] if tv else dc
-            elif dcid_consts[tn.entity]:
-                tv = parse_typed_value("dcid", dcid_consts[tn.entity])
-                dc = tv[1] if tv else None
-            if dc:
-                node_ids[tn.entity] = dc
-                is_dcid[tn.entity] = True
-            else:
-                node_ids[tn.entity] = f"{tn.table}/{tn.entity}/{rowid}"
-                is_dcid[tn.entity] = False
-        # pass 2: emit statements
-        for tn in template:
-            nid = node_ids[tn.entity]
-            for prop, kind, payload in tn.terms:
-                if prop == "dcid":
+
+    # pass 1: node ids (dcid-first, TmcfCsvParser.java:156-230)
+    node_ids: dict[str, pd.Series] = {}
+    is_dcid: dict[str, pd.Series] = {}
+    for tn in template:
+        fallback = tn.table + "/" + tn.entity + "/" + rowid
+        col = dcid_cols[tn.entity]
+        if col and col in pdf.columns:
+            raw = pdf[col]
+            present = raw.notna() & (raw.astype(str) != "")
+            parsed = _typed_values_vec("dcid", raw.fillna("").astype(str))
+            dc = parsed["value"].where(present)
+            node_ids[tn.entity] = dc.fillna(fallback)
+            is_dcid[tn.entity] = present
+        elif dcid_consts[tn.entity]:
+            tv = parse_typed_value("dcid", dcid_consts[tn.entity])
+            const = tv[1] if tv else None
+            node_ids[tn.entity] = pd.Series(const or fallback, index=pdf.index)
+            is_dcid[tn.entity] = pd.Series(const is not None, index=pdf.index)
+        else:
+            node_ids[tn.entity] = fallback
+            is_dcid[tn.entity] = pd.Series(False, index=pdf.index)
+
+    def emit(idx, nid, prop, vt, val):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "node_id": nid.loc[idx].values if hasattr(nid, "loc") else nid,
+                    "prop": prop,
+                    "value_type": vt.values if hasattr(vt, "values") else vt,
+                    "value": val.values if hasattr(val, "values") else val,
+                    "src_file": "",
+                },
+                index=idx,
+            ).reset_index(drop=True)
+        )
+
+    # pass 2: emit statements — one vectorized pass per template term
+    for tn in template:
+        nid = node_ids[tn.entity]
+        for prop, kind, payload in tn.terms:
+            if prop == "dcid":
+                continue
+            if kind == "CONST":
+                tv = parse_typed_value(prop, payload)
+                if tv:
+                    emit(pdf.index, nid, prop, tv[0], tv[1])
+            elif kind == "ENTITY":
+                tgt = payload
+                if tgt in node_ids:
+                    resolved = is_dcid[tgt]
+                    val = np.where(resolved, node_ids[tgt], "l:" + node_ids[tgt])
+                    vt = np.where(resolved, "RESOLVED_REF", "UNRESOLVED_REF")
+                    emit(pdf.index, nid, prop, pd.Series(vt, index=pdf.index), pd.Series(val, index=pdf.index))
+                else:
+                    emit(pdf.index, nid, prop, "UNRESOLVED_REF", f"l:{tgt}")
+            else:  # COLUMN
+                if payload not in pdf.columns:
                     continue
-                if kind == "CONST":
-                    tv = parse_typed_value(prop, payload)
-                    if tv:
-                        rows.append((nid, prop, tv[0], tv[1], ""))
-                elif kind == "ENTITY":
-                    tgt = payload
-                    if tgt in node_ids and is_dcid[tgt]:
-                        rows.append((nid, prop, "RESOLVED_REF", node_ids[tgt], ""))
-                    else:
-                        rows.append(
-                            (nid, prop, "UNRESOLVED_REF", f"l:{node_ids.get(tgt, tgt)}", "")
+                cell = pdf[payload]
+                present = cell.notna()
+                cs = cell.astype(str).where(present, "")
+                present &= cs != ""
+                if not present.any():
+                    continue
+                # multi-value / quoted / escaped cells go through the
+                # exact scalar splitter on DISTINCT values only
+                hard = present & cs.str.contains(r'[,"\\\n]', regex=True)
+                simple = present & ~hard
+                if simple.any():
+                    vals = cs[simple].str.strip()
+                    keep = vals != ""
+                    parsed = _typed_values_vec(prop, vals[keep])
+                    ok = parsed["value_type"].notna()
+                    idx = parsed.index[ok]
+                    emit(idx, nid, prop, parsed.loc[idx, "value_type"], parsed.loc[idx, "value"])
+                if hard.any():
+                    lut = {
+                        s: split_and_strip(s, strip_enclosing_quotes=False)
+                        for s in cs[hard].unique()
+                    }
+                    split = cs[hard].map(lut)
+                    split = split[split.notna()]
+                    exploded = split.explode().dropna()
+                    if len(exploded):
+                        # exploded has duplicate row labels — go positional
+                        labels = exploded.index
+                        parsed = _typed_values_vec(
+                            prop, exploded.reset_index(drop=True).astype(str)
                         )
-                else:  # COLUMN
-                    cell = row.get(payload)
-                    if cell is None or (isinstance(cell, float) and pd.isna(cell)) or cell == "":
-                        continue  # missing value: skip prop (TmcfCsvParser semantics)
-                    vals = split_and_strip(str(cell), strip_enclosing_quotes=False)
-                    if vals is None:
-                        continue  # bad quoting / embedded newline → dropped w/ counter
-                    for v in vals:
-                        tv = parse_typed_value(prop, v)
-                        if tv:
-                            rows.append((nid, prop, tv[0], tv[1], ""))
-    return pd.DataFrame(
-        rows, columns=["node_id", "prop", "value_type", "value", "src_file"]
-    )
+                        ok = parsed["value_type"].notna().values
+                        emit(
+                            labels[ok],
+                            nid,
+                            prop,
+                            parsed.loc[ok, "value_type"].values,
+                            parsed.loc[ok, "value"].values,
+                        )
+
+    if not frames:
+        return pd.DataFrame(columns=["node_id", "prop", "value_type", "value", "src_file"])
+    return pd.concat(frames, ignore_index=True)
 
 
 def expand_template(

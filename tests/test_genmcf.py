@@ -1,0 +1,255 @@
+"""genmcf chain: McfMutator, McfChecker, alternating McfResolver, plan.
+
+Reference semantics: McfMutator.java:35-163, McfChecker.java:62-795,
+McfResolver.java:39-341, Processor.java:59-147.
+"""
+
+import json
+import os
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from import_spark.operators.mcf_checker import check_nodes
+from import_spark.operators.mcf_mutator import mutate_nodes
+from import_spark.operators.mcf_resolver import resolve_graph, resolve_graph_driver
+from import_spark.plans.genmcf import run_genmcf
+from import_spark.sources.mcf import parse_mcf_string
+
+NODE_SCHEMA = "node_id string, prop string, value_type string, value string, src_file string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(r + ("",))[:5] if len(r) < 5 else r for r in rows], NODE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------- mutator
+
+
+def test_mutator_complex_value_expansion(spark):
+    nodes = _df(
+        spark,
+        [
+            ("N1", "typeOf", "RESOLVED_REF", "StatisticalVariable"),
+            ("N1", "age", "COMPLEX_VALUE", "[Years 10 20]"),
+            ("N1", "measuredProperty", "RESOLVED_REF", "count"),
+        ],
+    )
+    out, errors = mutate_nodes(nodes)
+    got = {(r.node_id, r.prop, r.value_type, r.value) for r in out.collect()}
+    # complex value → RESOLVED_REF to computed dcid + child node
+    assert ("N1", "age", "RESOLVED_REF", "Years10To20") in got
+    assert ("Years10To20", "typeOf", "RESOLVED_REF", "QuantityRange") in got
+    assert ("Years10To20", "name", "TEXT", "Years 10 To 20") in got
+    assert errors.count() == 0
+
+
+def test_mutator_statvar_synthesis(spark):
+    nodes = _df(
+        spark,
+        [
+            ("SV1", "typeOf", "RESOLVED_REF", "StatisticalVariable"),
+            ("SV1", "populationType", "RESOLVED_REF", "Person"),
+            ("SV1", "measuredProperty", "RESOLVED_REF", "count"),
+            ("SV1", "statType", "RESOLVED_REF", "measuredValue"),
+            ("SV1", "gender", "RESOLVED_REF", "Female"),
+            ("SV1", "dcid", "TEXT", "Count_Person_Female"),
+        ],
+    )
+    out, _ = mutate_nodes(nodes)
+    got = {(r.prop, r.value_type, r.value) for r in out.filter(F.col("node_id") == "SV1").collect()}
+    assert ("constraintProperties", "RESOLVED_REF", "gender") in got
+    # definition: core props + sorted constraints (McfUtil.java:229-270)
+    assert ("definition", "TEXT", "mp=count,pt=Person,gender=Female") in got
+    # generated name (StatVarNameGenerator format subset)
+    assert ("name", "TEXT", "Count Of Person: Female") in got
+
+
+def test_mutator_legacy_obs_cleaning(spark):
+    nodes = _df(
+        spark,
+        [
+            ("O1", "typeOf", "RESOLVED_REF", "Observation"),
+            ("O1", "measuredValue", "TEXT", "1,234 %"),
+        ],
+    )
+    out, _ = mutate_nodes(nodes)
+    vals = {r.value for r in out.filter(F.col("prop") == "measuredValue").collect()}
+    assert vals == {"1234"}
+
+
+def test_mutator_missing_typeof_error(spark):
+    nodes = _df(spark, [("X", "name", "TEXT", "x")])
+    _, errors = mutate_nodes(nodes)
+    assert [r.counter for r in errors.collect()] == ["Mutator_MissingTypeOf"]
+
+
+# ---------------------------------------------------------------- checker
+
+
+def test_checker_counters(spark):
+    nodes = _df(
+        spark,
+        [
+            # SVObs missing variableMeasured, bad date
+            ("Obs1", "typeOf", "RESOLVED_REF", "StatVarObservation"),
+            ("Obs1", "observationAbout", "RESOLVED_REF", "geoId/06"),
+            ("Obs1", "observationDate", "TEXT", "Jan-2020"),
+            ("Obs1", "value", "NUMBER", "1"),
+            # bad prop casing + Thing type
+            ("N2", "typeOf", "RESOLVED_REF", "Thing"),
+            ("N2", "BadProp", "TEXT", "x"),
+            # invalid dcid chars
+            ("N3", "typeOf", "RESOLVED_REF", "City"),
+            ("N3", "dcid", "TEXT", "bad dcid!"),
+            # ref prop with text value
+            ("N4", "typeOf", "RESOLVED_REF", "City"),
+            ("N4", "location", "TEXT", "somewhere"),
+        ],
+    )
+    errors = check_nodes(nodes)
+    counters = {r.counter for r in errors.collect()}
+    assert "Sanity_MissingOrEmpty_variableMeasured" in counters
+    assert "Sanity_InvalidObsDate" in counters
+    assert "Sanity_NotInitLowerPropName" in counters
+    assert "Sanity_TypeThing" in counters
+    assert "Sanity_InvalidChars_dcid" in counters
+    assert "Sanity_RefPropHasNonRefValue" in counters
+
+
+def test_checker_valid_node_clean(spark):
+    nodes = _df(
+        spark,
+        [
+            ("Obs1", "typeOf", "RESOLVED_REF", "StatVarObservation"),
+            ("Obs1", "variableMeasured", "RESOLVED_REF", "Count_Person"),
+            ("Obs1", "observationAbout", "RESOLVED_REF", "geoId/06"),
+            ("Obs1", "observationDate", "TEXT", "2020-07-01"),
+            ("Obs1", "value", "NUMBER", "42"),
+        ],
+    )
+    errors = check_nodes(nodes)
+    assert errors.filter(F.col("level") == "LEVEL_ERROR").count() == 0
+
+
+# ---------------------------------------------------------------- resolver
+
+RESOLVE_ROWS = [
+    # place node: no dcid, but has isoCode → OTHER-mode external-id assignment
+    ("P1", "typeOf", "RESOLVED_REF", "City"),
+    ("P1", "isoCode", "TEXT", "US"),
+    # SVObs referencing the place: needs P1's dcid first (alternation!)
+    ("O1", "typeOf", "RESOLVED_REF", "StatVarObservation"),
+    ("O1", "variableMeasured", "RESOLVED_REF", "Count_Person"),
+    ("O1", "observationAbout", "UNRESOLVED_REF", "l:P1"),
+    ("O1", "observationDate", "TEXT", "2020"),
+    ("O1", "value", "NUMBER", "7"),
+    # orphan ref
+    ("B1", "typeOf", "RESOLVED_REF", "City"),
+    ("B1", "dcid", "TEXT", "geoId/01"),
+    ("B1", "containedIn", "UNRESOLVED_REF", "l:Nowhere"),
+    # ref to the failed node → poisoned
+    ("B2", "typeOf", "RESOLVED_REF", "City"),
+    ("B2", "dcid", "TEXT", "geoId/02"),
+    ("B2", "near", "UNRESOLVED_REF", "l:B1"),
+]
+
+
+def _check_resolution(got_rows, failed_ids, errors, rounds):
+    got = {(r[0], r[1], r[2], r[3]) for r in got_rows}
+    # alternation: P1 got iso/US, then O1's ref resolved, then O1 got a
+    # content-hash dcid (McfResolver.java:39-128 unblocking chain)
+    assert ("P1", "dcid", "TEXT", "iso/US") in got
+    assert ("O1", "observationAbout", "RESOLVED_REF", "iso/US") in got
+    o1_dcid = [v for (n, p, t, v) in got if n == "O1" and p == "dcid"]
+    assert len(o1_dcid) == 1 and o1_dcid[0].startswith("dc/o/")
+    assert rounds >= 2
+    assert failed_ids == {"B1", "B2"}
+    counters = {c for _, c, _ in errors}
+    assert "Resolution_OrphanLocalReference_containedIn" in counters
+    assert "Resolution_ReferenceToFailedNode_near" in counters
+
+
+def test_resolver_driver_alternation():
+    rows = [(r + ("",)) for r in RESOLVE_ROWS]
+    resolved, failed, errors, rounds = resolve_graph_driver(rows)
+    _check_resolution(resolved, failed, errors, rounds)
+
+
+def test_resolver_distributed_parity(spark):
+    nodes = _df(spark, RESOLVE_ROWS)
+    res_d = resolve_graph(nodes)  # driver fast path
+    res_x = resolve_graph(nodes, force_distributed=True)
+    a = {(r.node_id, r.prop, r.value_type, r.value) for r in res_d.resolved.collect()}
+    b = {(r.node_id, r.prop, r.value_type, r.value) for r in res_x.resolved.collect()}
+    assert a == b
+    fa = {r.node_id for r in res_d.failed.select("node_id").distinct().collect()}
+    fb = {r.node_id for r in res_x.failed.select("node_id").distinct().collect()}
+    assert fa == fb == {"B1", "B2"}
+
+
+def test_resolver_statvar_content_hash(spark):
+    nodes = _df(
+        spark,
+        [
+            ("SV", "typeOf", "RESOLVED_REF", "StatisticalVariable"),
+            ("SV", "populationType", "RESOLVED_REF", "Person"),
+            ("SV", "measuredProperty", "RESOLVED_REF", "count"),
+            ("SV", "statType", "RESOLVED_REF", "measuredValue"),
+            ("SV", "gender", "RESOLVED_REF", "Female"),
+        ],
+    )
+    res = resolve_graph(nodes)
+    dcids = [r.value for r in res.resolved.filter(F.col("prop") == "dcid").collect()]
+    assert len(dcids) == 1 and dcids[0].startswith("dc/")
+
+
+# ---------------------------------------------------------------- plan
+
+TMCF = textwrap.dedent(
+    """\
+    Node: E:T->E0
+    typeOf: dcs:StatVarObservation
+    variableMeasured: dcs:Count_Person
+    observationAbout: E:T->E1
+    observationDate: C:T->Year
+    value: C:T->Count
+
+    Node: E:T->E1
+    typeOf: dcs:City
+    isoCode: C:T->Iso
+    """
+)
+
+
+def test_genmcf_end_to_end(spark, tmp_path):
+    csv = spark.createDataFrame(
+        [("2019", "100", "US", 1), ("2020", "bad date", "FR", 2)],
+        ["Year", "Count", "Iso", "rid"],
+    )
+    out_dir = str(tmp_path / "genmcf")
+    res = run_genmcf(spark, TMCF, csv, row_id_col="rid", out_dir=out_dir)
+    got = {(r.node_id, r.prop, r.value_type, r.value) for r in res.nodes.collect()}
+    # place resolved via external id; SVObs ref rewritten; dcid assigned
+    assert ("T/E1/1", "dcid", "TEXT", "iso/US") in got
+    assert ("T/E0/1", "observationAbout", "RESOLVED_REF", "iso/US") in got
+    assert any(n == "T/E0/1" and p == "dcid" and v.startswith("dc/o/") for n, p, t, v in got)
+    # outputs on disk
+    assert os.path.exists(os.path.join(out_dir, "report.json"))
+    with open(os.path.join(out_dir, "report.json")) as f:
+        report = json.load(f)
+    assert report["levelSummary"]["LEVEL_INFO"]["counters"]["NumNodesProcessed"] >= 4
+    mcf_files = os.listdir(os.path.join(out_dir, "table_mcf_nodes"))
+    assert any(f.startswith("part-") for f in mcf_files)
+
+
+def test_genmcf_instance_mcf_union(spark):
+    doc = "Node: dcid:geoId/06\ntypeOf: dcs:State\nname: \"California\"\n"
+    rows = parse_mcf_string(doc)
+    inst = spark.createDataFrame(rows, NODE_SCHEMA)
+    res = run_genmcf(spark, TMCF, csv_df=None, instance_nodes=inst)
+    got = {(r.node_id, r.prop, r.value) for r in res.nodes.collect()}
+    assert ("geoId/06", "name", "California") in got
