@@ -1,0 +1,252 @@
+"""StatVar-hierarchy (SVG) generation — the Spark re-expression of
+simple/stats/stat_var_hierarchy_generator.py:35-478.
+
+Semantics: every StatisticalVariable with constraint PVs
+``(p1=v1 … pk=vk)`` attaches (memberOf) to a leaf SVG identified by
+``c/g/<PopType>_<P1>-<V1>_…``; parent SVGs are derived by dropping the
+VALUE of one property at a time (a "prop without val" SVG, e.g.
+``c/g/Person_Gender`` = persons of all genders), and from those by
+dropping the valueless property entirely — a lattice walk that
+terminates at the bare population-type SVG, which attaches to the
+root (specializationOf). Names follow the reference's
+capitalize-and-split-camel-case convention; over-long SVG ids get a
+sha256 suffix (stat_var_hierarchy_generator.py:29-31,143-158).
+
+Spark shape: the SV table collapses to DISTINCT (popType, pvs) combos
+first — the only big-data step, one groupBy — then the lattice walk is
+an iterative frontier expansion (explode one-val-dropped parents,
+dropDuplicates per round, ≤ 2·max-#pvs rounds) entirely in DataFrame
+ops. SVG counts are metadata-sized, so every round is tiny regardless
+of SV count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_SVG_ID_LENGTH = 255
+SVG_ID_HASH_LENGTH = 8
+CUSTOM_SVG_PREFIX = "c/g/"
+DEFAULT_CUSTOM_ROOT_SVG_ID = CUSTOM_SVG_PREFIX + "Root"
+
+SV_HIERARCHY_PROPS_BLOCKLIST = {
+    "dcid", "typeOf", "isPublic", "provenance", "resMCFFile", "keyString",
+    "populationType", "constraintProperties", "name", "label", "alternateName",
+    "description", "descriptionUrl", "memberOf", "utteranceTemplate",
+    "searchDescription", "source", "footnote", "isNormalizable",
+    "denominatorForNormalization", "measuredProperty", "measurementMethod",
+    "measurementDenominator", "measurementQualifier", "scalingFactor", "unit",
+    "statType", "censusACSTableId", "includedIn", "observationProperties",
+}
+
+
+def _capitalize(c):
+    """First letter upper, rest untouched (NOT initcap — the reference
+    preserves inner camelCase, stat_var_hierarchy_generator.py:458-462)."""
+    return F.concat(F.upper(F.substring(c, 1, 1)), F.substring(c, 2, 1_000_000))
+
+
+def _token(c):
+    """_to_dcid_token: strip non-alphanumerics, capitalize first letter."""
+    t = F.regexp_replace(c, "[^0-9a-zA-Z]+", "")
+    return _capitalize(t)
+
+
+def _gen_name(c):
+    """_capitalize_and_split: EnergySource → Energy Source."""
+    return F.trim(F.regexp_replace(_capitalize(c), "([A-Z])", " $1"))
+
+
+def _svg_id(pop_type, pvs):
+    """c/g/<PopType>[_<Prop>-<Val>…] with sha256 suffix when over-long."""
+    pv_part = F.transform(
+        pvs,
+        lambda pv: F.when(
+            pv["val"] != "", F.concat(_token(pv["prop"]), F.lit("-"), _token(pv["val"]))
+        ).otherwise(_token(pv["prop"])),
+    )
+    raw = F.concat_ws("_", F.array(F.concat(F.lit(CUSTOM_SVG_PREFIX), _token(pop_type))), pv_part)
+    max_base = MAX_SVG_ID_LENGTH - SVG_ID_HASH_LENGTH - 1
+    return F.when(
+        F.length(raw) > MAX_SVG_ID_LENGTH,
+        F.concat(
+            F.substring(raw, 1, max_base),
+            F.lit("-"),
+            F.substring(F.sha2(raw, 256), 1, SVG_ID_HASH_LENGTH),
+        ),
+    ).otherwise(raw)
+
+
+def _svg_name(pop_type, pvs):
+    pv_names = F.transform(
+        pvs,
+        lambda pv: F.when(
+            pv["val"] != "",
+            F.concat(_gen_name(pv["prop"]), F.lit(" = "), _gen_name(pv["val"])),
+        ).otherwise(_gen_name(pv["prop"])),
+    )
+    return F.when(
+        F.size(pvs) > 0,
+        F.concat(_gen_name(pop_type), F.lit(" With "), F.concat_ws(", ", pv_names)),
+    ).otherwise(_gen_name(pop_type))
+
+
+def extract_svs(sv_nodes: DataFrame, blocklist: set[str] | None = None) -> DataFrame:
+    """Long-form SV node rows → (sv_id, pop_type, pvs) with pvs the
+    prop-sorted constraint array (stat_var_hierarchy_generator.py:481-520)."""
+    bl = sorted(blocklist or SV_HIERARCHY_PROPS_BLOCKLIST)
+    sv_ids = (
+        sv_nodes.filter((F.col("prop") == "typeOf") & (F.col("value") == "StatisticalVariable"))
+        .select("node_id")
+        .distinct()
+    )
+    rows = sv_nodes.join(sv_ids, "node_id")
+    return rows.groupBy("node_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("prop") == "dcid", F.col("value"))), F.col("node_id")
+        ).alias("sv_id"),
+        F.coalesce(
+            F.min(F.when(F.col("prop") == "populationType", F.col("value"))), F.lit("Thing")
+        ).alias("pop_type"),
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    ~F.col("prop").isin(*bl),
+                    F.struct(F.col("prop").alias("prop"), F.col("value").alias("val")),
+                )
+            )
+        ).alias("pvs"),
+    ).select("sv_id", "pop_type", "pvs")
+
+
+def generate_svg_hierarchy(
+    sv_nodes: DataFrame,
+    blocklist: set[str] | None = None,
+    root_svg_id: str = DEFAULT_CUSTOM_ROOT_SVG_ID,
+    max_rounds: int = 24,
+) -> DataFrame:
+    """SV nodes → hierarchy triples
+    (subject_id, predicate, object_id, object_value).
+
+    Emitted per SVG: ``typeOf StatisticalVariableGroup``, ``name``,
+    ``specializationOf <parent>`` (pop-type SVGs → the root); per SV:
+    ``memberOf <leaf svg>`` — the reference's SVG.triples()
+    (stat_var_hierarchy_generator.py:209-231)."""
+    svs = extract_svs(sv_nodes, blocklist)
+
+    # the one big-data step: collapse SVs onto distinct leaf SVGs
+    leaf = svs.withColumn("svg_id", _svg_id(F.col("pop_type"), F.col("pvs")))
+    member_triples = leaf.select(
+        F.col("sv_id").alias("subject_id"),
+        F.lit("memberOf").alias("predicate"),
+        F.col("svg_id").alias("object_id"),
+        F.lit(None).cast("string").alias("object_value"),
+    )
+    frontier = (
+        leaf.select("svg_id", "pop_type", "pvs")
+        .withColumn("has_pwv", F.lit(False))
+        .dropDuplicates(["svg_id"])
+        .localCheckpoint()
+    )
+    seen = frontier.select("svg_id").localCheckpoint()
+    all_svgs = frontier.localCheckpoint()
+    edges = None
+
+    for _ in range(max_rounds):
+        if frontier.isEmpty():
+            break
+        # parents of all-values SVGs: drop the VALUE of one prop at a time
+        with_vals = frontier.filter(~F.col("has_pwv") & (F.size("pvs") > 0))
+        p1 = with_vals.select(
+            "svg_id",
+            "pop_type",
+            F.explode(
+                F.transform(
+                    F.col("pvs"),
+                    lambda pv, i: F.transform(
+                        F.col("pvs"),
+                        lambda pv2, j: F.when(
+                            i == j,
+                            F.struct(pv2["prop"].alias("prop"), F.lit("").alias("val")),
+                        ).otherwise(pv2),
+                    ),
+                )
+            ).alias("ppvs"),
+        ).withColumn("has_pwv", F.lit(True))
+        # parents of prop-without-val SVGs: drop the valueless prop
+        pwv = frontier.filter(F.col("has_pwv"))
+        p2 = pwv.select(
+            "svg_id",
+            "pop_type",
+            F.filter(F.col("pvs"), lambda pv: pv["val"] != "").alias("ppvs"),
+        ).withColumn("has_pwv", F.lit(False))
+        parents = p1.unionByName(p2).withColumn(
+            "parent_svg_id", _svg_id(F.col("pop_type"), F.col("ppvs"))
+        )
+        new_edges = parents.select(
+            F.col("svg_id").alias("child"), F.col("parent_svg_id").alias("parent")
+        ).dropDuplicates()
+        edges = new_edges if edges is None else edges.unionByName(new_edges).dropDuplicates()
+        edges = edges.localCheckpoint()
+        new_svgs = (
+            parents.select(
+                F.col("parent_svg_id").alias("svg_id"),
+                "pop_type",
+                F.col("ppvs").alias("pvs"),
+                "has_pwv",
+            )
+            .dropDuplicates(["svg_id"])
+            .join(seen, "svg_id", "left_anti")
+            .localCheckpoint()
+        )
+        seen = seen.unionByName(new_svgs.select("svg_id")).localCheckpoint()
+        all_svgs = all_svgs.unionByName(new_svgs).localCheckpoint()
+        frontier = new_svgs
+
+    # SVG info triples
+    info = all_svgs.select(
+        F.col("svg_id").alias("subject_id"),
+        F.col("pop_type"),
+        F.col("pvs"),
+    )
+    type_triples = info.select(
+        "subject_id",
+        F.lit("typeOf").alias("predicate"),
+        F.lit("StatisticalVariableGroup").alias("object_id"),
+        F.lit(None).cast("string").alias("object_value"),
+    )
+    name_triples = info.select(
+        "subject_id",
+        F.lit("name").alias("predicate"),
+        F.lit(None).cast("string").alias("object_id"),
+        _svg_name(F.col("pop_type"), F.col("pvs")).alias("object_value"),
+    )
+    # specializationOf: child → parent; pop-type tops → root
+    spec = (edges if edges is not None else frontier.limit(0).select(
+        F.col("svg_id").alias("child"), F.col("svg_id").alias("parent"))
+    ).select(
+        F.col("child").alias("subject_id"),
+        F.lit("specializationOf").alias("predicate"),
+        F.col("parent").alias("object_id"),
+        F.lit(None).cast("string").alias("object_value"),
+    )
+    tops = (
+        all_svgs.join(
+            (edges.select(F.col("child").alias("svg_id")) if edges is not None else all_svgs.limit(0).select("svg_id")),
+            "svg_id",
+            "left_anti",
+        )
+        .select(
+            F.col("svg_id").alias("subject_id"),
+            F.lit("specializationOf").alias("predicate"),
+            F.lit(root_svg_id).alias("object_id"),
+            F.lit(None).cast("string").alias("object_value"),
+        )
+    )
+    return (
+        type_triples.unionByName(name_triples)
+        .unionByName(spec)
+        .unionByName(tops)
+        .unionByName(member_triples)
+    )

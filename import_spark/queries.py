@@ -75,11 +75,9 @@ FROM events GROUP BY user_id, event_type
 
 def q_a4_event_counts(spark, sf):
     """A4: per-entity per-period counts (events_importer.py:152-197)."""
-    return (
-        _t(spark, sf, "events")
-        .groupBy("user_id", F.date_trunc("month", "ts").alias("month"))
-        .agg(F.count("*").alias("n_events"))
-    )
+    from import_spark.operators.relational import event_counts
+
+    return event_counts(_t(spark, sf, "events"), ["user_id"], "ts", "month")
 
 
 SQL_A4 = """
@@ -165,11 +163,10 @@ GROUP BY 1, 2
 
 def q_a10_dup_conflict(spark, sf):
     """A10: same-key different-value conflicts (StatChecker.java:596-633)."""
-    return (
-        _t(spark, sf, "lineitem")
-        .groupBy("l_orderkey", "l_partkey")
-        .agg(F.countDistinct("l_quantity").alias("n_values"))
-        .filter(F.col("n_values") > 1)
+    from import_spark.operators.relational import dup_value_conflicts
+
+    return dup_value_conflicts(
+        _t(spark, sf, "lineitem"), ["l_orderkey", "l_partkey"], "l_quantity"
     )
 
 
@@ -180,15 +177,14 @@ FROM lineitem GROUP BY 1, 2 HAVING count(DISTINCT l_quantity) > 1
 
 
 def q_a13_percentiles(spark, sf):
-    """A13: quantile aggregation (stat_var_series_aggregator.py:196-455)."""
-    return (
-        _t(spark, sf, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-            F.count("*").alias("n"),
-        )
+    """A13: quantile aggregation (stat_var_series_aggregator.py:196-455).
+
+    exact=True for oracle parity; at scale the library form's
+    exact=False switches to percentile_approx (no per-group sort)."""
+    from import_spark.operators.relational import group_percentiles
+
+    return group_percentiles(
+        _t(spark, sf, "lineitem"), ["l_returnflag"], "l_extendedprice", [0.5, 0.9]
     )
 
 
@@ -264,12 +260,15 @@ GROUP BY 1
 
 def q_j6_containment(spark, sf):
     """J6: containment + MIN(parent) (place_aggregation_generator.py:131-184)."""
-    n = _t(spark, sf, "nation")
-    r = _t(spark, sf, "region")
-    return (
-        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("r_name")
-        .agg(F.min("n_name").alias("first_nation"), F.count("*").alias("n_nations"))
+    from import_spark.operators.relational import containment_rollup
+
+    return containment_rollup(
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+        "n_regionkey",
+        "r_regionkey",
+        ["r_name"],
+        [F.min("n_name").alias("first_nation"), F.count("*").alias("n_nations")],
     )
 
 
@@ -287,6 +286,8 @@ def q_j7_closure(spark, sf):
     reference's 20-level recursion) materializing the leaf→ancestor
     edge set; broadcast the small parent maps.
     """
+    from import_spark.operators.relational import ancestor_closure
+
     # level maps: child → parent
     levels = [
         _t(spark, sf, "orders").select(
@@ -296,19 +297,11 @@ def q_j7_closure(spark, sf):
             F.col("c_custkey").alias("child"), F.col("c_nationkey").cast("long").alias("parent")
         ),
     ]
-    frontier = (
-        _t(spark, sf, "lineitem")
-        .select(F.col("l_orderkey").alias("leaf"), F.col("l_orderkey").alias("anc"))
-        .dropDuplicates(["leaf"])
+    closure = ancestor_closure(
+        _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("leaf")),
+        levels,
     )
-    for lvl in levels:
-        frontier = (
-            frontier.join(
-                F.broadcast(lvl.withColumnRenamed("child", "anc")), "anc"
-            )
-            .select("leaf", F.col("parent").alias("anc"))
-        )
-    return frontier.groupBy(F.col("anc").cast("int").alias("nationkey")).agg(
+    return closure.groupBy(F.col("anc").cast("int").alias("nationkey")).agg(
         F.count("*").alias("n_leaves")
     )
 
@@ -962,5 +955,186 @@ ORACLE_SQL.update(
         "c8_sv_ids": SQL_C8,
         "t5_statvar_triples": SQL_T5,
         "serving_stat_series": SQL_SERVING,
+    }
+)
+
+
+# ---------------- round-2 surfaces: checker / genmcf / SVG / S2 ----------------
+
+
+def _event_nodes(spark, sf):
+    """events → long-form SVObs node rows (deterministic sanity mix:
+    'click' events omit variableMeasured; negative values carry an
+    invalid observationDate)."""
+    ev = _t(spark, sf, "events")
+    pv = F.array(
+        F.struct(F.lit("typeOf").alias("prop"), F.lit("RESOLVED_REF").alias("value_type"),
+                 F.lit("StatVarObservation").alias("value")),
+        F.struct(F.lit("observationAbout").alias("prop"), F.lit("RESOLVED_REF").alias("value_type"),
+                 F.concat(F.lit("user/"), F.col("user_id")).alias("value")),
+        F.struct(F.lit("observationDate").alias("prop"), F.lit("TEXT").alias("value_type"),
+                 F.when(F.col("value") < 0, F.lit("not-a-date"))
+                 .otherwise(F.date_format("ts", "yyyy-MM-dd")).alias("value")),
+        F.struct(F.lit("value").alias("prop"), F.lit("NUMBER").alias("value_type"),
+                 F.round("value", 4).cast("string").alias("value")),
+        F.when(
+            F.col("event_type") != "click",
+            F.struct(F.lit("variableMeasured").alias("prop"), F.lit("RESOLVED_REF").alias("value_type"),
+                     F.lit("Count_Event").alias("value")),
+        ),
+    )
+    return (
+        ev.select(F.concat(F.lit("e"), F.col("event_id")).alias("node_id"),
+                  F.explode(F.filter(pv, lambda x: x.isNotNull())).alias("p"))
+        .select("node_id", "p.prop", "p.value_type", "p.value", F.lit("").alias("src_file"))
+    )
+
+
+def q_mcf_checker(spark, sf):
+    """T3: McfChecker sanity suite (McfChecker.java:62-795) — counter
+    rollup over SVObs nodes synthesized from the events table."""
+    from import_spark.operators.mcf_checker import check_nodes
+
+    errors = check_nodes(_event_nodes(spark, sf))
+    return (
+        errors.groupBy("level", "counter").agg(F.count("*").alias("n")).orderBy("level", "counter")
+    )
+
+
+SQL_MCF_CHECKER = """
+WITH c AS (
+  SELECT 'LEVEL_ERROR' AS level, 'Sanity_InvalidObsDate' AS counter, count(*) AS n
+  FROM events WHERE value < 0
+  UNION ALL
+  SELECT 'LEVEL_ERROR', 'Sanity_MissingOrEmpty_variableMeasured', count(*)
+  FROM events WHERE event_type = 'click'
+)
+SELECT * FROM c WHERE n > 0 ORDER BY level, counter
+"""
+
+_GENMCF_TMCF = """
+Node: E:T->E0
+typeOf: dcs:StatVarObservation
+variableMeasured: dcs:Count_Event
+observationAbout: E:T->E1
+observationDate: C:T->date
+value: C:T->val
+
+Node: E:T->E1
+typeOf: dcs:Place
+dcid: C:T->place
+"""
+
+
+def q_genmcf_predicates(spark, sf):
+    """End-to-end genmcf (Processor.java:59-147): TMCF x CSV -> mutate ->
+    check -> alternating resolve -> per-predicate statement counts of
+    the resolved graph."""
+    from import_spark.plans.genmcf import run_genmcf
+
+    csv = _t(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        F.round("value", 4).cast("string").alias("val"),
+        F.concat(F.lit("user/"), F.col("user_id")).alias("place"),
+        F.col("event_id").alias("rid"),
+    )
+    res = run_genmcf(spark, _GENMCF_TMCF, csv, row_id_col="rid")
+    return res.nodes.groupBy("prop").agg(F.count("*").alias("n")).orderBy("prop")
+
+
+SQL_GENMCF = """
+WITH n AS (SELECT count(*) AS c FROM events)
+SELECT 'dcid' AS prop, 2*c AS n FROM n
+UNION ALL SELECT 'observationAbout', c FROM n
+UNION ALL SELECT 'observationDate', c FROM n
+UNION ALL SELECT 'typeOf', 2*c FROM n
+UNION ALL SELECT 'value', c FROM n
+UNION ALL SELECT 'variableMeasured', c FROM n
+ORDER BY prop
+"""
+
+
+def q_svg_hierarchy(spark, sf):
+    """SVG hierarchy generation (stat_var_hierarchy_generator.py:35-156):
+    single-constraint StatVars from part brands -> the memberOf /
+    specializationOf / name lattice."""
+    from import_spark.operators.svg_hierarchy import generate_svg_hierarchy
+
+    svs = (
+        _t(spark, sf, "part")
+        .select(F.col("p_brand")).distinct()
+        .select(
+            F.concat(F.lit("sv/"), F.col("p_brand")).alias("node_id"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("typeOf").alias("prop"), F.lit("RESOLVED_REF").alias("value_type"),
+                             F.lit("StatisticalVariable").alias("value")),
+                    F.struct(F.lit("populationType").alias("prop"), F.lit("RESOLVED_REF").alias("value_type"),
+                             F.lit("Part").alias("value")),
+                    F.struct(F.lit("brand").alias("prop"), F.lit("RESOLVED_REF").alias("value_type"),
+                             F.col("p_brand").alias("value")),
+                )
+            ).alias("p"),
+        )
+        .select("node_id", "p.prop", "p.value_type", "p.value", F.lit("").alias("src_file"))
+    )
+    return generate_svg_hierarchy(svs).orderBy("predicate", "subject_id", "object_id")
+
+
+SQL_SVG = """
+WITH b AS (SELECT DISTINCT p_brand FROM part),
+     leaf AS (SELECT p_brand,
+                     'c/g/Part_Brand-' || regexp_replace(p_brand, '[^0-9a-zA-Z]+', '', 'g') AS svg_id
+              FROM b),
+     svgs AS (SELECT svg_id, 'Part With Brand = ' || p_brand AS nm FROM leaf
+              UNION ALL SELECT 'c/g/Part_Brand', 'Part With Brand'
+              UNION ALL SELECT 'c/g/Part', 'Part')
+SELECT svg_id AS subject_id, 'typeOf' AS predicate,
+       'StatisticalVariableGroup' AS object_id, NULL AS object_value FROM svgs
+UNION ALL SELECT svg_id, 'name', NULL, nm FROM svgs
+UNION ALL SELECT svg_id, 'specializationOf', 'c/g/Part_Brand', NULL FROM leaf
+UNION ALL SELECT 'c/g/Part_Brand', 'specializationOf', 'c/g/Part', NULL
+UNION ALL SELECT 'c/g/Part', 'specializationOf', 'c/g/Root', NULL
+UNION ALL SELECT 'sv/' || p_brand, 'memberOf', svg_id, NULL FROM leaf
+ORDER BY predicate, subject_id, object_id
+"""
+
+
+def q_s2_cells(spark, sf):
+    """P13: lat/lng -> S2 cell ids (resolvers.py:32-66, pure-math port
+    bit-validated against the reference's own example) — events mapped
+    to deterministic coordinates, rolled up per level-8 cell."""
+    from import_spark.functions.s2cells import pandas_s2_cell_dcid
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lat = (pdf["user_id"] % 179) - 89 + 0.25
+            lng = (pdf["event_id"] % 359) - 179 + 0.25
+            yield pd.DataFrame({"cell": pandas_s2_cell_dcid(lat, lng, 8)})
+
+    ev = _t(spark, sf, "events").select("user_id", "event_id")
+    cells = ev.mapInPandas(gen, schema="cell string")
+    return cells.groupBy("cell").agg(F.count("*").alias("n")).orderBy("cell")
+
+
+QUERIES.update(
+    {
+        "mcf_checker": q_mcf_checker,
+        "genmcf_pipeline": q_genmcf_predicates,
+        "svg_hierarchy": q_svg_hierarchy,
+        "s2_cells": q_s2_cells,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "mcf_checker": SQL_MCF_CHECKER,
+        "genmcf_pipeline": SQL_GENMCF,
+        "svg_hierarchy": SQL_SVG,
+        # s2_cells: no DuckDB twin (Hilbert-curve cell math) — rows-only
     }
 )

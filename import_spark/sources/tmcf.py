@@ -200,6 +200,13 @@ def _expand_batch(
     # pass 2: emit statements — one vectorized pass per template term
     for tn in template:
         nid = node_ids[tn.entity]
+        # template-assigned dcids stay as a PV on the node (the
+        # reference's dcid-first pass keeps Vocabulary.DCID among the
+        # node's PVs, which McfResolver.assignDcids checks —
+        # TmcfCsvParser.java:156-230, McfResolver.java:190-193)
+        if is_dcid[tn.entity].any():
+            idx = pdf.index[is_dcid[tn.entity]]
+            emit(idx, nid, "dcid", "TEXT", nid.loc[idx])
         for prop, kind, payload in tn.terms:
             if prop == "dcid":
                 continue

@@ -1,0 +1,99 @@
+"""SVG hierarchy lattice (stat_var_hierarchy_generator.py:340-445) and
+S2 cell ids (resolvers.py:32-66 pure-math port)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from import_spark.functions.s2cells import (
+    s2_cell_dcid,
+    s2_cell_id,
+    s2_cell_id_batch,
+    s2_cell_level,
+)
+from import_spark.operators.svg_hierarchy import generate_svg_hierarchy
+
+NODE_SCHEMA = "node_id string, prop string, value_type string, value string, src_file string"
+
+
+def _sv(spark):
+    rows = [
+        ("SV1", "typeOf", "RESOLVED_REF", "StatisticalVariable", ""),
+        ("SV1", "dcid", "TEXT", "Count_Person_Female_Asian", ""),
+        ("SV1", "populationType", "RESOLVED_REF", "Person", ""),
+        ("SV1", "gender", "RESOLVED_REF", "Female", ""),
+        ("SV1", "race", "RESOLVED_REF", "Asian", ""),
+        ("SV2", "typeOf", "RESOLVED_REF", "StatisticalVariable", ""),
+        ("SV2", "dcid", "TEXT", "Count_Person_Male", ""),
+        ("SV2", "populationType", "RESOLVED_REF", "Person", ""),
+        ("SV2", "gender", "RESOLVED_REF", "Male", ""),
+    ]
+    return spark.createDataFrame(rows, NODE_SCHEMA)
+
+
+def test_svg_lattice_structure(spark):
+    tri = generate_svg_hierarchy(_sv(spark))
+    rows = {(r.subject_id, r.predicate, r.object_id, r.object_value) for r in tri.collect()}
+    # leaf membership
+    assert ("Count_Person_Female_Asian", "memberOf", "c/g/Person_Gender-Female_Race-Asian", None) in rows
+    assert ("Count_Person_Male", "memberOf", "c/g/Person_Gender-Male", None) in rows
+    # the two-hop parent chain: drop val, then drop prop
+    assert ("c/g/Person_Gender-Female_Race-Asian", "specializationOf", "c/g/Person_Gender_Race-Asian", None) in rows
+    assert ("c/g/Person_Gender_Race-Asian", "specializationOf", "c/g/Person_Race-Asian", None) in rows
+    assert ("c/g/Person_Gender", "specializationOf", "c/g/Person", None) in rows
+    # pop-type top attaches to the custom root
+    assert ("c/g/Person", "specializationOf", "c/g/Root", None) in rows
+    # names: capitalize-and-split, "With", "=" formatting
+    assert ("c/g/Person_Gender-Female", "name", None, "Person With Gender = Female") in rows
+    assert ("c/g/Person_Gender", "name", None, "Person With Gender") in rows
+    # every SVG is typed
+    svg_ids = {s for s, p, o, v in rows if p == "typeOf" and o == "StatisticalVariableGroup"}
+    named = {s for s, p, o, v in rows if p == "name"}
+    assert svg_ids == named and len(svg_ids) == 9
+
+
+def test_s2_reference_golden():
+    # the reference's own documented example (resolvers.py:33)
+    assert s2_cell_dcid(38.7, -119.4, 10) == "s2CellId/0x80982b0000000000"
+
+
+def test_s2_levels_and_containment():
+    c30 = s2_cell_id(48.8584, 2.2945, 30)
+    assert s2_cell_level(c30) == 30
+    for lvl in (0, 5, 10, 20):
+        c = s2_cell_id(48.8584, 2.2945, lvl)
+        assert s2_cell_level(c) == lvl
+        # parent range contains the leaf
+        lsb = c & (-c)
+        assert (c - lsb) <= c30 <= (c + lsb)
+
+
+def test_s2_batch_matches_scalar():
+    lats = np.array([0.0, 38.7, -45.2, 89.9, -89.9, 12.345])
+    lngs = np.array([0.0, -119.4, 170.0, 10.0, -10.0, -0.01])
+    batch = s2_cell_id_batch(lats, lngs, 12)
+    for k in range(len(lats)):
+        assert int(batch[k]) == s2_cell_id(float(lats[k]), float(lngs[k]), 12)
+
+
+def test_relational_ops(spark):
+    from import_spark.operators.relational import (
+        ancestor_closure,
+        dup_value_conflicts,
+        group_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 1, 2.0), ("b", 2, 3.0), ("b", 2, 3.0)],
+        ["k", "g", "v"],
+    )
+    conflicts = dup_value_conflicts(df, ["k"], "v").collect()
+    assert [(r.k, r.n_values) for r in conflicts] == [("a", 2)]
+
+    pct = {r.k: r.p50 for r in group_percentiles(df, ["k"], "v", [0.5]).collect()}
+    assert pct == {"a": 1.5, "b": 3.0}
+
+    leaves = spark.createDataFrame([(1,), (2,)], ["leaf"])
+    lvl1 = spark.createDataFrame([(1, 10), (2, 20)], ["child", "parent"])
+    lvl2 = spark.createDataFrame([(10, 100), (20, 100)], ["child", "parent"])
+    got = {(r.leaf, r.anc) for r in ancestor_closure(leaves, [lvl1, lvl2]).collect()}
+    assert got == {(1, 100), (2, 100)}
