@@ -1,0 +1,149 @@
+"""A12 — SV / place-series summary reports (reference
+SummaryReportGenerator.java:30-223, CSVReportWriter.java:31-56,
+PlaceSeriesSummary.java, StatChecker.java:131-171,275-281).
+
+Two aggregates over a flat StatVarObservation relation:
+
+- **StatVar summary** (one row per variableMeasured): observation
+  count, distinct-place count, min/max value, distinct dates (count +
+  first/last), distinct measurementMethods/units/scalingFactors/
+  observationPeriods — the exact column set of the reference's
+  ``summary_report.csv``.
+- **Place series summary** (one row per (place, variable, facet)):
+  the date-ordered series values — PlaceSeriesSummary's
+  ``seriesDates/seriesValues`` pairing.
+
+Plus ``svobs_from_triples`` to pivot the engine's long-form statement
+table into that flat relation (one groupBy on subject), and a writer
+emitting ``summary_report.csv`` + ``summary_report.json`` (charts are
+presentation-layer and out of scope — the data series in the JSON is
+what the reference's SVG charts plot).
+
+Everything is plain groupBy/collect_set aggregation: map-side partial
+aggregation keeps the shuffle proportional to group count, and the
+summaries are metadata-sized regardless of observation count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SUMMARY_REPORT_CSV = "summary_report.csv"
+SUMMARY_REPORT_JSON = "summary_report.json"
+
+_OPTIONAL = ["measurementMethod", "unit", "scalingFactor", "observationPeriod"]
+
+
+def svobs_from_triples(triples: DataFrame) -> DataFrame:
+    """Long-form statements (subj/pred/obj or node_id/prop/value) →
+    flat SVObs relation. One conditional-agg groupBy per subject."""
+    cols = triples.columns
+    s, p, o = (
+        ("subj", "pred", "obj") if "subj" in cols else ("node_id", "prop", "value")
+    )
+    want = ["typeOf", "variableMeasured", "observationAbout", "observationDate", "value"] + _OPTIONAL
+    rows = triples.filter(F.col(p).isin(*want))
+
+    def fst(prop):
+        return F.min(F.when(F.col(p) == prop, F.col(o))).alias(prop)
+
+    flat = rows.groupBy(F.col(s).alias("svobs_id")).agg(
+        *[fst(x) for x in want]
+    )
+    return (
+        flat.filter(F.col("typeOf") == "StatVarObservation")
+        .drop("typeOf")
+        .withColumn("value", F.col("value").cast("double"))
+    )
+
+
+def statvar_summary(svobs: DataFrame) -> DataFrame:
+    """Per-SV rollup — the summary_report.csv record
+    (CSVReportWriter.java:40-52)."""
+    cols = set(svobs.columns)
+    opt = [
+        F.sort_array(F.collect_set(c)).alias(f"{c}s")
+        if c in cols
+        else F.array().cast("array<string>").alias(f"{c}s")
+        for c in _OPTIONAL
+    ]
+    return svobs.groupBy(F.col("variableMeasured").alias("stat_var")).agg(
+        F.countDistinct("observationAbout").alias("num_places"),
+        F.count("*").alias("num_observations"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.countDistinct("observationDate").alias("num_dates"),
+        F.min("observationDate").alias("min_date"),
+        F.max("observationDate").alias("max_date"),
+        *opt,
+    )
+
+
+def place_series_summary(svobs: DataFrame) -> DataFrame:
+    """Per-(place, variable[, facet]) date-ordered series
+    (PlaceSeriesSummary.java seriesDates/seriesValues)."""
+    cols = set(svobs.columns)
+    facet = [c for c in _OPTIONAL if c in cols]
+    pairs = F.sort_array(
+        F.collect_list(F.struct(F.col("observationDate").alias("date"), F.col("value")))
+    )
+    return (
+        svobs.groupBy(
+            F.col("observationAbout").alias("place"),
+            F.col("variableMeasured").alias("stat_var"),
+            *facet,
+        )
+        .agg(pairs.alias("series"))
+        .select(
+            "place",
+            "stat_var",
+            *facet,
+            F.transform("series", lambda x: x["date"]).alias("series_dates"),
+            F.transform("series", lambda x: x["value"]).alias("series_values"),
+        )
+    )
+
+
+def write_summary_report(
+    svobs: DataFrame, out_dir: str, max_series: int = 10_000
+) -> dict:
+    """summary_report.csv (SV rollup) + summary_report.json (rollup +
+    capped place series) — SummaryReportGenerator.generateReportSummary."""
+    os.makedirs(out_dir, exist_ok=True)
+    sv = statvar_summary(svobs)
+    rows = [r.asDict() for r in sv.orderBy("stat_var").collect()]
+    header = [
+        "StatVar", "NumPlaces", "NumObservations", "MinValue", "MaxValue",
+        "NumUniqueDates", "MinDate", "MaxDate", "MeasurementMethods",
+        "Units", "ScalingFactors", "ObservationPeriods",
+    ]
+    with open(os.path.join(out_dir, SUMMARY_REPORT_CSV), "w") as f:
+        f.write(",".join(header) + "\n")
+        for r in rows:
+            f.write(
+                ",".join(
+                    str(x)
+                    for x in [
+                        r["stat_var"], r["num_places"], r["num_observations"],
+                        r["min_value"], r["max_value"], r["num_dates"],
+                        r["min_date"], r["max_date"],
+                        "[%s]" % " ".join(r["measurementMethods"] or []),
+                        "[%s]" % " ".join(r["units"] or []),
+                        "[%s]" % " ".join(r["scalingFactors"] or []),
+                        "[%s]" % " ".join(r["observationPeriods"] or []),
+                    ]
+                )
+                + "\n"
+            )
+    series = [
+        r.asDict()
+        for r in place_series_summary(svobs).orderBy("place", "stat_var").limit(max_series).collect()
+    ]
+    report = {"statVarSummary": rows, "placeSeriesSummary": series}
+    with open(os.path.join(out_dir, SUMMARY_REPORT_JSON), "w") as f:
+        json.dump(report, f, indent=1, default=str)
+    return report

@@ -1138,3 +1138,46 @@ ORACLE_SQL.update(
         # s2_cells: no DuckDB twin (Hilbert-curve cell math) — rows-only
     }
 )
+
+
+def q_a12_sv_summary(spark, sf):
+    """A12: StatVar summary report rollup (SummaryReportGenerator.java:
+    30-223, CSVReportWriter.java:40-52) — events as the SVObs relation."""
+    from import_spark.operators.summary import statvar_summary
+
+    svobs = _t(spark, sf, "events").select(
+        F.col("event_type").alias("variableMeasured"),
+        F.concat(F.lit("user/"), F.col("user_id")).alias("observationAbout"),
+        F.date_format("ts", "yyyy-MM-dd").alias("observationDate"),
+        F.col("value").cast("double").alias("value"),
+        F.lit("Count").alias("unit"),
+    )
+    s = statvar_summary(svobs)
+    return s.select(
+        "stat_var",
+        "num_places",
+        "num_observations",
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        "num_dates",
+        "min_date",
+        "max_date",
+        F.concat_ws("|", "units").alias("units"),
+    ).orderBy("stat_var")
+
+
+SQL_A12 = """
+SELECT event_type AS stat_var,
+       count(DISTINCT user_id) AS num_places,
+       count(*) AS num_observations,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS num_dates,
+       min(strftime(ts, '%Y-%m-%d')) AS min_date,
+       max(strftime(ts, '%Y-%m-%d')) AS max_date,
+       'Count' AS units
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["a12_sv_summary"] = q_a12_sv_summary
+ORACLE_SQL["a12_sv_summary"] = SQL_A12

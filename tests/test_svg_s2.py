@@ -97,3 +97,50 @@ def test_relational_ops(spark):
     lvl2 = spark.createDataFrame([(10, 100), (20, 100)], ["child", "parent"])
     got = {(r.leaf, r.anc) for r in ancestor_closure(leaves, [lvl1, lvl2]).collect()}
     assert got == {(1, 100), (2, 100)}
+
+
+def test_summary_report(spark, tmp_path):
+    from import_spark.operators.summary import (
+        place_series_summary,
+        statvar_summary,
+        svobs_from_triples,
+        write_summary_report,
+    )
+    import os, json
+
+    triples = spark.createDataFrame(
+        [
+            ("o1", "typeOf", "StatVarObservation"),
+            ("o1", "variableMeasured", "Count_Person"),
+            ("o1", "observationAbout", "geoId/06"),
+            ("o1", "observationDate", "2019"),
+            ("o1", "value", "10"),
+            ("o1", "unit", "Person"),
+            ("o2", "typeOf", "StatVarObservation"),
+            ("o2", "variableMeasured", "Count_Person"),
+            ("o2", "observationAbout", "geoId/06"),
+            ("o2", "observationDate", "2020"),
+            ("o2", "value", "12"),
+            ("o2", "unit", "Person"),
+            ("x", "typeOf", "City"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    svobs = svobs_from_triples(triples)
+    assert svobs.count() == 2
+    s = statvar_summary(svobs).collect()
+    assert len(s) == 1
+    r = s[0]
+    assert (r.stat_var, r.num_places, r.num_observations, r.min_value, r.max_value) == (
+        "Count_Person", 1, 2, 10.0, 12.0,
+    )
+    assert (r.num_dates, r.min_date, r.max_date, list(r.units)) == (2, "2019", "2020", ["Person"])
+    ps = place_series_summary(svobs).collect()
+    assert len(ps) == 1 and list(ps[0].series_dates) == ["2019", "2020"]
+    assert list(ps[0].series_values) == [10.0, 12.0]
+    out = str(tmp_path / "sum")
+    rep = write_summary_report(svobs, out)
+    assert os.path.exists(os.path.join(out, "summary_report.csv"))
+    with open(os.path.join(out, "summary_report.json")) as f:
+        data = json.load(f)
+    assert data["statVarSummary"][0]["stat_var"] == "Count_Person"
