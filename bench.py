@@ -45,11 +45,21 @@ def main() -> None:
         _force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # KG-construction throughput
+    # KG-construction throughput. The workload is an Iceberg-table SCAN
+    # (input_hint), so the deterministic transcript table is
+    # materialized to parquet first and the timed run reads it — same
+    # methodology as tools/scaling_bench.py; generation is excluded.
+    import tempfile
+
     from import_spark.plans.kg_pipeline import run_pipeline
     from import_spark.sources.transcripts import dcid_dictionary, generate_transcripts
 
-    tr = generate_transcripts(spark, kg_convs)
+    tr_path = os.path.join(tempfile.gettempdir(), f"bench_transcripts_{kg_convs}")
+    if not os.path.exists(os.path.join(tr_path, "_SUCCESS")):
+        generate_transcripts(spark, kg_convs, partitions=2 * cores).write.mode(
+            "overwrite"
+        ).parquet(tr_path)
+    tr = spark.read.parquet(tr_path)
     t0 = time.time()
     res = run_pipeline(spark, tr, dcid_dictionary(spark), verify_text_invariant=False)
     n_triples = res.triples.count()

@@ -149,6 +149,17 @@ def _node_checks(nodes: DataFrame) -> DataFrame:
     ]
     keep = F.col("prop").isin(*interesting) | _is_stat_value_prop(F.col("prop"))
 
+    # DISTINCT (node, prop, value) first: the reference checks per-row
+    # sub-graphs where each node carries one PV set
+    # (McfChecker.java:683-729); in a global long-form table the same
+    # node legitimately repeats identical rows across source rows, so
+    # "multiple values" means multiple DISTINCT values. One partial-agg
+    # dedupe shuffle — NOT per-agg countDistinct, which would EXPAND the
+    # input once per aggregate.
+    nodes = nodes.select("node_id", "prop", "value").filter(keep).dropDuplicates(
+        ["node_id", "prop", "value"]
+    )
+
     # conditional aggs (not a prop→value map: Spark raises on duplicate
     # map keys, and multi-value props are legal input here)
     def cnt(prop, alias):
@@ -158,8 +169,7 @@ def _node_checks(nodes: DataFrame) -> DataFrame:
         return F.min(F.when(F.col("prop") == prop, F.col("value"))).alias(alias)
 
     g = (
-        nodes.filter(keep)
-        .groupBy("node_id")
+        nodes.groupBy("node_id")
         .agg(
             F.collect_set(F.when(F.col("prop") == "typeOf", F.col("value"))).alias("types"),
             cnt("dcid", "n_dcid"), fst("dcid", "dcid"),

@@ -63,7 +63,12 @@ def run_genmcf(
     like Processor.processNodes."""
     stmts = None
     if csv_df is not None:
-        stmts = expand_template(csv_df, tmcf_text, row_id_col=row_id_col)
+        stmts = expand_template(
+            csv_df,
+            tmcf_text,
+            row_id_col=row_id_col,
+            min_partitions=spark.sparkContext.defaultParallelism,
+        )
     if instance_nodes is not None:
         stmts = (
             instance_nodes
@@ -72,6 +77,10 @@ def run_genmcf(
         )
     if stmts is None:
         raise ValueError("need csv_df and/or instance_nodes")
+    # materialize the expansion ONCE: the mutator/checker/resolver each
+    # consume it several times (flags, complex lookup, synthesis,
+    # row+node checks) and would re-run the Python stage otherwise
+    stmts = stmts.localCheckpoint()
 
     # 2. mutate
     mutated, mut_errors = mutate_nodes(stmts)

@@ -272,7 +272,10 @@ def _expand_batch(
 
 
 def expand_template(
-    csv_df: DataFrame, tmcf_text: str, row_id_col: str | None = None
+    csv_df: DataFrame,
+    tmcf_text: str,
+    row_id_col: str | None = None,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """CSV rows × template → long-form instance statements.
 
@@ -280,8 +283,17 @@ def expand_template(
     (the reference's TEST-mode row number). If None, a row number is
     derived by a global sort over all columns — deterministic, but a
     full shuffle; at scale always supply a natural key column.
+
+    ``min_partitions``: repartition the scan up to this count before
+    the Python stage — a single small CSV otherwise expands on one
+    task (the reference parallelizes thread-per-FILE,
+    Processor.java:272-293; we parallelize within the file too). At
+    real scale the scan already has more partitions and this is a
+    no-op (only ever raises the count).
     """
     template = parse_tmcf(tmcf_text)
+    if min_partitions and csv_df.rdd.getNumPartitions() < min_partitions:
+        csv_df = csv_df.repartition(min_partitions)
     if row_id_col is None:
         from pyspark.sql import Window
 
