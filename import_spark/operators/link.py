@@ -68,6 +68,32 @@ def link_statements(extracted: DataFrame, dcid_dict: DataFrame) -> DataFrame:
     )
 
 
+def local_graph_dictionary(nodes: DataFrame) -> dict:
+    """J2 — local-graph seeding (ExternalIdResolver.addLocalGraph,
+    ExternalIdResolver.java:57-96): nodes that carry BOTH an external id
+    and a dcid contribute ``(id_prop, id_value) → dcid`` entries, so
+    references to those external ids resolve to the local nodes without
+    a remote lookup. Deterministic first-wins (min dcid) on conflicts.
+
+    ``nodes``: long-form (node_id, prop, value) rows."""
+    ext_props = list(V.PLACE_RESOLVABLE_AND_ASSIGNABLE_IDS)
+    ids = nodes.filter(F.col("prop").isin(*ext_props)).select(
+        "node_id", F.col("prop").alias("id_prop"), F.col("value").alias("id_val")
+    )
+    dcids = (
+        nodes.filter(F.col("prop") == "dcid")
+        .groupBy("node_id")
+        .agg(F.min("value").alias("dcid"))
+    )
+    pairs = (
+        ids.join(dcids, "node_id")
+        .groupBy("id_prop", "id_val")
+        .agg(F.min("dcid").alias("dcid"))
+        .collect()
+    )
+    return {(r["id_prop"], r["id_val"]): r["dcid"] for r in pairs}
+
+
 def dcid_map_from_df(dcid_dict: DataFrame) -> dict:
     """Collect the (small) dictionary to a driver dict for UDF-closure
     broadcast (the fused extract+link path). Deterministic first-wins

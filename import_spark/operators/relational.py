@@ -119,3 +119,32 @@ def group_percentiles(
         aggs.append(e.alias(f"p{int(p * 100)}"))
     aggs.append(F.count("*").alias("n"))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def attach_entity_types(
+    observations: DataFrame,
+    entities: DataFrame,
+    obs_entity_col: str = "observationAbout",
+    entity_id_col: str = "dcid",
+    type_col: str = "typeOf",
+    broadcast_entities: bool = True,
+) -> DataFrame:
+    """J9 — observations ⨝ entity-type (the obs-to-place-type join the
+    reference does for per-type aggregations,
+    place_aggregation_generator.py + StatChecker place typing).
+
+    Entity dimension broadcast by default; at larger-than-broadcast
+    entity tables pass broadcast_entities=False (AQE handles skew)."""
+    e = entities.select(
+        F.col(entity_id_col).alias(obs_entity_col), F.col(type_col).alias("entity_type")
+    )
+    if broadcast_entities:
+        e = F.broadcast(e)
+    return observations.join(e, obs_entity_col, "left")
+
+
+def id_collisions(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """A14 — content-hash collision counting (DcidGenerator keyString
+    bookkeeping): generated ids whose source key strings differ. Same
+    shape as dup_value_conflicts keyed by the id."""
+    return dup_value_conflicts(df, [id_col], key_col, alias="n_keys")

@@ -57,6 +57,8 @@ def run_genmcf(
     row_id_col: str | None = None,
     out_dir: str | None = None,
     assign_statvar_dcids: bool = True,
+    dcid_dict: dict | None = None,
+    seed_local_graph: bool = True,
 ) -> GenMcfResult:
     """End-to-end genmcf. ``csv_df``: the table scan; ``instance_nodes``:
     optional pre-parsed long-form MCF rows (read_mcf output) unioned in
@@ -90,8 +92,19 @@ def run_genmcf(
     # quarantine, matching Processor.java:330-345)
     check_errors = check_nodes(mutated)
 
-    # 4. resolve
-    res = resolve_graph(mutated, assign_statvar_dcids=assign_statvar_dcids)
+    # 4. resolve — dictionary = caller's (the Recon stand-in) + local-
+    # graph seeding (J2: external ids defined WITH a dcid in this very
+    # import resolve to the local nodes, ExternalIdResolver.addLocalGraph)
+    full_dict = dict(dcid_dict or {})
+    if seed_local_graph:
+        from import_spark.operators.link import local_graph_dictionary
+
+        full_dict.update(local_graph_dictionary(mutated))
+    res = resolve_graph(
+        mutated,
+        assign_statvar_dcids=assign_statvar_dcids,
+        dcid_dict=full_dict or None,
+    )
 
     errors = (
         mut_errors.withColumn("level", F.lit("LEVEL_ERROR"))

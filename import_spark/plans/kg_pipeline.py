@@ -271,6 +271,18 @@ def run_pipeline(
     if out_dir:
         with open(os.path.join(out_dir, f"metrics_{run_id}.json"), "w") as f:
             json.dump(m.rows, f, indent=1)
+        # A11: counters as a queryable table, appended per run — the
+        # LogWrapper counter model as data (run_id, stage, counter,
+        # value, elapsed_sec), partitioned by run for lineage
+        spark.createDataFrame(
+            [
+                (r["run_id"], r["stage"], r["counter"], r["value"], r["elapsed_sec"])
+                for r in m.rows
+            ],
+            "run_id string, stage string, counter string, value long, elapsed_sec double",
+        ).write.mode("append").partitionBy("run_id").parquet(
+            os.path.join(out_dir, "metrics")
+        )
     if not keep and os.path.exists(snap):
         shutil.rmtree(snap, ignore_errors=True)
 

@@ -253,3 +253,37 @@ def test_genmcf_instance_mcf_union(spark):
     res = run_genmcf(spark, TMCF, csv_df=None, instance_nodes=inst)
     got = {(r.node_id, r.prop, r.value) for r in res.nodes.collect()}
     assert ("geoId/06", "name", "California") in got
+
+
+def test_genmcf_local_graph_seeding(spark):
+    """J2: an external id defined WITH a dcid in the same import resolves
+    references to that id via the local graph (ExternalIdResolver.addLocalGraph)."""
+    nodes = _df(
+        spark,
+        [
+            # local node that defines isoCode US with an explicit dcid
+            ("Def1", "typeOf", "RESOLVED_REF", "Country"),
+            ("Def1", "dcid", "TEXT", "country/USA"),
+            ("Def1", "isoCode", "TEXT", "US"),
+            # another node carrying the same external id but no dcid:
+            # with seeding it resolves to country/USA, not iso/US
+            ("P9", "typeOf", "RESOLVED_REF", "City"),
+            ("P9", "isoCode", "TEXT", "US"),
+        ],
+    )
+    res = run_genmcf(spark, TMCF, csv_df=None, instance_nodes=nodes)
+    got = {(r.node_id, r.prop, r.value) for r in res.nodes.collect()}
+    assert ("P9", "dcid", "country/USA") in got
+
+
+def test_metrics_table_written(spark, tmp_path):
+    from import_spark.plans.kg_pipeline import run_pipeline
+    from import_spark.sources.transcripts import dcid_dictionary, generate_transcripts
+
+    out = str(tmp_path / "kg")
+    run_pipeline(
+        spark, generate_transcripts(spark, 50), dcid_dictionary(spark), out_dir=out
+    )
+    m = spark.read.parquet(os.path.join(out, "metrics"))
+    rows = {(r.stage, r.counter) for r in m.collect()}
+    assert ("merge", "triples_final") in rows and ("scan", "text_digest") in rows
