@@ -223,11 +223,15 @@ def main() -> None:
         )
     lines.append(
         "\n*Hardware ceiling = scaling of a pure-CPU spin loop (multiprocess, no JVM/"
-        "memory/I/O) across the same taskset-confined core counts — the best ANY job "
-        "could do on this VM. This box's vCPUs are hypervisor-overcommitted: fully "
-        "CPU-bound work scales at only ~0.67 from 8→32 vCPUs, so that pair measures "
-        "the hypervisor, not the job; the primary N→4N evidence pair is 2→8 cores, "
-        "where the host delivers 4x and the job's own scaling is observable. "
+        "memory/I/O, embarrassingly parallel) across the same taskset-confined core "
+        "counts — an upper bound on what ANY job can achieve on this VM. The box "
+        "never delivers 4x from N to 4N cores at any width: per-core speed drops as "
+        "more vCPUs go busy (frequency scaling at low widths, hypervisor overcommit "
+        "at full width), so the ceiling itself sits near the 0.8 target on the "
+        "primary 2→8 pair and well below it on 8→32. The job-per-ceiling column is "
+        "therefore the signal that separates job-level scaling losses from silicon "
+        "ones; on a real multi-executor cluster (constant per-core speed as executors "
+        "are added) the job efficiency corresponds to that normalized column. "
         "Calibration ops/s: "
         + ", ".join(f"{c} cores = {calib[c]['ops_per_sec']}M" for c in levels)
         + ".\n"
