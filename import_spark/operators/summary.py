@@ -57,7 +57,9 @@ def svobs_from_triples(triples: DataFrame) -> DataFrame:
     return (
         flat.filter(F.col("typeOf") == "StatVarObservation")
         .drop("typeOf")
-        .withColumn("value", F.col("value").cast("double"))
+        # try_cast: non-numeric observation values (quarantined upstream
+        # or deliberately textual) become NULL instead of an ANSI error
+        .withColumn("value", F.expr("try_cast(value AS double)"))
     )
 
 
