@@ -226,3 +226,87 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs: all (a < b) with cosine ≥ threshold —
+    the O(n²) correctness baseline (broadcast self-join; only for
+    validation-scale inputs; the scale path is embedding_near_dup)."""
+    from import_spark.operators.similarity import _dot, _norm
+
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 4
+    )
+    return (
+        pairs.select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_bands: int = 6,
+    seed: int = 7,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Scale-path embedding near-dup → (vec_id, canon) keep-map.
+
+    Shape mirrors minhash_dedup: banded hyperplane-LSH buckets
+    (candidates = same (band, bucket) — never an all-pairs join), hot
+    buckets capped at ``max_bucket`` (degenerate all-identical buckets
+    are near-certain duplicates; cap bounds the quadratic pair blowup),
+    exact-cosine verification of candidates, connected components over
+    verified edges, min-id canonical representative."""
+    from import_spark.operators.canonicalize import (
+        connected_components,
+        connected_components_fast,
+    )
+    from import_spark.operators.similarity import _dot, _norm, lsh_banded_signatures
+
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return emb.sparkSession.createDataFrame([], f"{id_col} string, canon string")
+    sig = lsh_banded_signatures(
+        emb, dim_row["d"], n_planes, n_bands, id_col, vec_col, seed
+    )
+    counts = sig.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+    sig = sig.join(
+        F.broadcast(counts.filter(F.col("_n") > max_bucket).select("band", "bucket")),
+        ["band", "bucket"],
+        "left_anti",
+    )
+    s2 = sig.select(
+        "band", "bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")
+    )
+    cand = (
+        sig.select("band", "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+        .join(s2, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    edges = (
+        cand.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst"))
+    )
+    fast = connected_components_fast(edges)
+    comp = fast if fast is not None else connected_components(edges)
+    return comp.withColumnRenamed("node", id_col)

@@ -1181,3 +1181,41 @@ FROM events GROUP BY 1 ORDER BY 1
 
 QUERIES["a12_sv_summary"] = q_a12_sv_summary
 ORACLE_SQL["a12_sv_summary"] = SQL_A12
+
+
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs — exact baseline (the scale path
+    is operators.dedup.embedding_near_dup: banded-LSH buckets + verify
+    + connected components; this query is its oracle-checkable twin)."""
+    from import_spark.operators.dedup import embedding_near_dup_pairs_exact
+
+    return embedding_near_dup_pairs_exact(
+        _t(spark, sf, "embeddings"), threshold=0.4
+    ).orderBy("a", "b")
+
+
+SQL_DEDUP_EMB = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+ORDER BY 1, 2
+"""
+
+
+def q_sim_ivf_ann(spark, sf):
+    """IVF approximate NN (k-means coarse quantizer, n_probe lists —
+    rows-only: no SQL twin for the quantizer)."""
+    from import_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(emb, queries_df, dim=dim, k=10, n_centroids=16, n_probe=4)
+
+
+QUERIES.update({"dedup_embedding": q_dedup_embedding, "sim_ivf_ann": q_sim_ivf_ann})
+ORACLE_SQL.update({"dedup_embedding": SQL_DEDUP_EMB})

@@ -114,3 +114,49 @@ def test_multimodal_plumbing(spark):
         extract_features(media, decoder="real")
     plan = frame_sample_plan(media, every_ms=1000)
     assert plan.count() > 0
+
+
+def test_embedding_near_dup_lsh(spark):
+    """Planted duplicates: the LSH scale path maps each dup cluster to
+    its min id; exact baseline agrees."""
+    import numpy as np
+    from import_spark.operators.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_pairs_exact,
+    )
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((str(i), [float(x) for x in v]))
+        if i < 5:  # plant a near-duplicate of the first five
+            rows.append((f"{i}_dup", [float(x) for x in v + rng.standard_normal(16) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    keep = {r.vec_id: r.canon for r in embedding_near_dup(emb, threshold=0.98).collect()}
+    for i in range(5):
+        pair = sorted([str(i), f"{i}_dup"])
+        assert keep.get(pair[1]) == pair[0]
+    # no false merges of independent gaussians at 0.98
+    assert len(keep) == 5
+    exact = embedding_near_dup_pairs_exact(emb, threshold=0.98).count()
+    assert exact == 5
+
+
+def test_ivf_ann_recall(spark):
+    import numpy as np
+    from import_spark.operators.similarity import cosine_topk_bruteforce, ivf_ann_topk
+
+    rng = np.random.RandomState(1)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    q = emb.filter("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    exact = cosine_topk_bruteforce(emb, q, k=5)
+    approx = ivf_ann_topk(emb, q, dim=16, k=5, n_centroids=8, n_probe=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
