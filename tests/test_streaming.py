@@ -1,0 +1,66 @@
+"""Structured-Streaming surfaces: watermarked windows +
+applyInPandasWithState custom stateful operator."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from import_spark.sources.transcripts import TRANSCRIPT_SCHEMA, generate_transcripts
+from import_spark.streaming.windows import (
+    conversation_session_state,
+    windowed_turn_counts,
+)
+
+
+def _stream_dir(spark, tmp_path, n=30):
+    tdir = str(tmp_path / "stream_in")
+    generate_transcripts(spark, n).write.mode("overwrite").parquet(tdir)
+    return spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(tdir), tdir
+
+
+def test_windowed_turn_counts(spark, tmp_path):
+    stream, tdir = _stream_dir(spark, tmp_path)
+    agg = windowed_turn_counts(stream, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM wincounts").collect()
+    assert len(got) > 0
+    # streaming result == batch groupBy on the same input
+    batch = (
+        spark.read.parquet(tdir)
+        .groupBy(F.window("ts", "1 hour"), "role")
+        .count()
+        .count()
+    )
+    assert len(got) == batch
+    assert all(r.n_turns > 0 and r.window_end > r.window_start for r in got)
+
+
+def test_conversation_session_state(spark, tmp_path):
+    stream, tdir = _stream_dir(spark, tmp_path)
+    sess = conversation_session_state(stream)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.conv_id: r for r in spark.sql("SELECT * FROM sessions").collect()}
+    batch = {
+        r.conv_id: r.n
+        for r in spark.read.parquet(tdir).groupBy("conv_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) == set(batch)
+    for cid, n in batch.items():
+        assert got[cid].n_turns == n
+        assert got[cid].first_ts <= got[cid].last_ts
