@@ -272,3 +272,56 @@ def col_object_value_key(c):
 
     t = F.trim(c)
     return F.concat(F.substring(t, 1, 16), F.lit(":"), F.sha2(t, 256))
+
+
+# P16 — gzip-compressed large literals (PipelineUtils.java:64-70,440-474;
+# decompress twin GraphReader.java:76-99). The reference stores the value
+# of these predicates as GZIP bytes in the Node table's `bytes` column.
+STORE_VALUE_AS_BYTES_PREDICATES = frozenset(
+    {
+        "geoJsonCoordinates",
+        "geoJsonCoordinatesDP1",
+        "geoJsonCoordinatesDP2",
+        "geoJsonCoordinatesDP3",
+        "kmlCoordinates",
+    }
+)
+
+
+def store_value_as_bytes(pred_col):
+    """PipelineUtils.storeValueAsBytes predicate as a native expression."""
+    from pyspark.sql import functions as F
+
+    return pred_col.isin(*STORE_VALUE_AS_BYTES_PREDICATES)
+
+
+def compress_literals_udf():
+    """Arrow-batched pandas UDF: UTF-8 → GZIP bytes
+    (PipelineUtils.compressString parity; header OS-byte pinned for
+    determinism via mtime=0)."""
+    import gzip
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _compress(s):
+        return s.map(
+            lambda v: None
+            if v is None
+            else gzip.compress(v.encode("utf-8"), mtime=0)
+        )
+
+    return _compress
+
+
+def decompress_literals_udf():
+    """Inverse of compress_literals_udf (GraphReader.java:76-99)."""
+    import gzip
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _decompress(s):
+        return s.map(lambda v: None if v is None else gzip.decompress(bytes(v)).decode("utf-8"))
+
+    return _decompress

@@ -102,3 +102,64 @@ def dcid_map_from_df(dcid_dict: DataFrame) -> dict:
         (r["prop"], r["ext_id"]): r["dcid"]
         for r in prepare_dictionary(dcid_dict).collect()
     }
+
+
+def quantize_coord_key(lat_col, lng_col):
+    """E5-quantized ``lat#lng`` join key (round-half-away-from-zero, the
+    same rule as the complex-value latLong dcid,
+    ComplexValueParser.java:333-341). Quantizing BOTH sides of the join
+    sidesteps double→string formatting parity, which the reference never
+    depends on (its keys only round-trip within one process,
+    CoordinatesResolver.java:77-95)."""
+    q = lambda c: F.floor(c.try_cast("double") * 1e5 + F.lit(0.5)).cast("long")  # noqa: E731
+    return F.concat_ws("#", q(lat_col), q(lng_col))
+
+
+def resolve_coordinates(
+    nodes: DataFrame, coord_dict: DataFrame, fallback_latlong: bool = True
+) -> DataFrame:
+    """J3 — coordinates→place join (CoordinatesResolver.java:35-95).
+
+    ``nodes``: long-form (node_id, prop, value) rows; nodes carrying both
+    ``latitude`` and ``longitude`` form the resolve key. ``coord_dict``:
+    small dimension (lat, lng, dcid) — the offline stand-in for the
+    Recon ``<-geoCoordinate->dcid`` index; broadcast-joined,
+    first-candidate-wins (min dcid, pinned deterministic like
+    PropertyResolver.java:113).
+
+    Returns (node_id, place_dcid). Misses fall back to the quantized
+    ``latLong/<lat_e5>_<lng_e5>`` dcid (the complex-value rule) when
+    ``fallback_latlong``, else drop out (reference behavior: unresolved).
+    """
+    lat = nodes.filter(F.col("prop") == "latitude").select(
+        "node_id", F.col("value").alias("_lat")
+    )
+    lng = nodes.filter(F.col("prop") == "longitude").select(
+        "node_id", F.col("value").alias("_lng")
+    )
+    keyed = (
+        lat.join(lng, "node_id")
+        .filter(
+            F.col("_lat").try_cast("double").isNotNull()
+            & F.col("_lng").try_cast("double").isNotNull()
+        )
+        .select("node_id", quantize_coord_key(F.col("_lat"), F.col("_lng")).alias("_ck"))
+    )
+    dim = F.broadcast(
+        coord_dict.select(
+            quantize_coord_key(F.col("lat"), F.col("lng")).alias("_ck"),
+            F.col("dcid"),
+        )
+        .groupBy("_ck")
+        .agg(F.min("dcid").alias("_place"))
+    )
+    joined = keyed.join(dim, "_ck", "left")
+    fallback = (
+        F.concat(F.lit("latLong/"), F.regexp_replace(F.col("_ck"), "#", "_"))
+        if fallback_latlong
+        else F.lit(None).cast("string")
+    )
+    out = joined.select(
+        "node_id", F.coalesce(F.col("_place"), fallback).alias("place_dcid")
+    )
+    return out.filter(F.col("place_dcid").isNotNull())

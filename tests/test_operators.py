@@ -147,3 +147,111 @@ def test_malformed_complex_is_error_row(spark):
     errs = out.filter(F.col("kind") == "ERROR").collect()
     assert all(e.pred == "MCF_MalformedComplexValue" for e in errs)
     assert len(errs) == 2
+
+
+def test_format_dispatch(spark, tmp_path):
+    """S6: path-based resolution (PipelineUtils.java:174-193) + read."""
+    from import_spark.sources.dispatch import resolve_format, read_graph
+
+    assert resolve_format("/data/graph.tfrecord.gz") == "tfrecord"
+    assert resolve_format("/data/nodes.jsonld") == "jsonld"
+    assert resolve_format("/data/graph.mcf") == "mcf"
+    assert resolve_format("/data/whatever.txt") == "mcf"  # MCF default
+    assert resolve_format("/data/t.parquet") == "parquet"
+    p = tmp_path / "g.mcf"
+    p.write_text('Node: n1\ntypeOf: dcs:City\nname: "SF"\n')
+    df = read_graph(spark, str(p))
+    assert df.count() > 0
+
+
+def test_entity_provenance_source_triples(spark):
+    """T6 parity with simple/stats/data.py:181-258."""
+    from import_spark.operators.statvar import (
+        entity_triples,
+        provenance_triples,
+        source_triples,
+    )
+
+    ents = spark.createDataFrame(
+        [("country/USA", "Country")], ["entity_dcid", "entity_type"]
+    )
+    got = {(r.subject_id, r.predicate, r.object_id) for r in entity_triples(ents).collect()}
+    assert got == {("country/USA", "typeOf", "Country")}
+
+    provs = spark.createDataFrame(
+        [
+            ("p/1", "src/1", "Census", "http://x.org", {"year": "2020", "ref": "dcid:abc"}),
+            ("p/2", "src/2", "NoUrl", "", None),
+        ],
+        ["id", "source_id", "name", "url", "properties"],
+    )
+    rows = provenance_triples(provs).collect()
+    by_subj = {}
+    for r in rows:
+        by_subj.setdefault(r.subject_id, {})[r.predicate] = (r.object_id, r.object_value)
+    assert by_subj["p/1"]["typeOf"] == ("Provenance", None)
+    assert by_subj["p/1"]["source"] == ("src/1", None)
+    assert by_subj["p/1"]["url"] == (None, "http://x.org")
+    assert by_subj["p/1"]["year"] == (None, "2020")  # not a uri/namespace
+    assert by_subj["p/1"]["ref"] == ("dcid:abc", None)  # uri/namespace -> id
+    assert "url" not in by_subj["p/2"]  # empty url omitted
+
+    srcs = spark.createDataFrame(
+        [("s/1", "ACS", "https://www.census.gov/acs")], ["id", "name", "url"]
+    )
+    srows = {r.predicate: (r.object_id, r.object_value) for r in source_triples(srcs).collect()}
+    assert srows["domain"] == (None, "www.census.gov")  # urlparse().netloc parity
+    assert srows["typeOf"] == ("Source", None)
+
+
+def test_resolve_coordinates(spark):
+    """J3: lat/lng nodes vs a broadcast coordinate dictionary."""
+    from import_spark.operators.link import resolve_coordinates
+
+    nodes = spark.createDataFrame(
+        [
+            ("n1", "latitude", "37.3"),
+            ("n1", "longitude", "-122.3"),
+            ("n2", "latitude", "10.0"),
+            ("n2", "longitude", "20.0"),
+            ("n3", "latitude", "abc"),  # unparseable -> dropped
+            ("n3", "longitude", "1.0"),
+            ("n4", "name", "no coords"),
+        ],
+        ["node_id", "prop", "value"],
+    )
+    cd = spark.createDataFrame([(37.3, -122.3, "geoId/0667000")], ["lat", "lng", "dcid"])
+    got = {r.node_id: r.place_dcid for r in resolve_coordinates(nodes, cd).collect()}
+    assert got == {"n1": "geoId/0667000", "n2": "latLong/1000000_2000000"}
+    strict = {
+        r.node_id: r.place_dcid
+        for r in resolve_coordinates(nodes, cd, fallback_latlong=False).collect()
+    }
+    assert strict == {"n1": "geoId/0667000"}
+
+
+def test_compress_literals_roundtrip(spark):
+    """P16: gzip bytes for geoJson-class predicates, roundtrip-exact."""
+    import gzip
+
+    from import_spark.functions.values import (
+        compress_literals_udf,
+        decompress_literals_udf,
+        store_value_as_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [("geoJsonCoordinates", '{"type":"Polygon"}' * 50), ("name", "plain")],
+        ["pred", "value"],
+    )
+    enc = df.withColumn(
+        "bytes",
+        F.when(store_value_as_bytes(F.col("pred")), compress_literals_udf()(F.col("value"))),
+    )
+    rows = {r.pred: r for r in enc.collect()}
+    assert rows["name"]["bytes"] is None
+    blob = bytes(rows["geoJsonCoordinates"]["bytes"])
+    assert blob[:2] == b"\x1f\x8b" and gzip.decompress(blob).decode() == '{"type":"Polygon"}' * 50
+    dec = enc.withColumn("back", decompress_literals_udf()(F.col("bytes")))
+    r = dec.filter(F.col("pred") == "geoJsonCoordinates").first()
+    assert r.back == r.value
