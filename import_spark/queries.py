@@ -1219,3 +1219,44 @@ def q_sim_ivf_ann(spark, sf):
 
 QUERIES.update({"dedup_embedding": q_dedup_embedding, "sim_ivf_ann": q_sim_ivf_ann})
 ORACLE_SQL.update({"dedup_embedding": SQL_DEDUP_EMB})
+
+
+def q_p11_wide_observations(spark, sf):
+    """P11/P10: config-driven wide->long observation import
+    (observations_importer.py:68-139) — ignore columns, entity/date
+    column mappings, StatVar-column melt, invalid-value filter."""
+    from import_spark.operators.observations import import_wide_observations
+
+    wide = _t(spark, sf, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    return import_wide_observations(
+        wide,
+        ignore_columns=["o_orderstatus", "o_orderpriority"],
+        column_mappings={
+            "dcid:observationAbout": "o_orderkey",
+            "dcid:observationDate": "o_orderdate",
+        },
+    ).orderBy("entity", "variable")
+
+
+SQL_P11 = """
+WITH src AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS entity,
+         CAST(o_orderdate AS VARCHAR) AS date,
+         CAST(o_custkey AS VARCHAR) AS v_cust,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS v_price
+  FROM orders
+), long AS (
+  SELECT entity, 'custom/statvar_o_custkey' AS variable, date, v_cust AS value FROM src
+  UNION ALL
+  SELECT entity, 'custom/statvar_o_totalprice' AS variable, date, v_price AS value FROM src
+)
+SELECT entity, variable, date, value FROM long
+WHERE value IS NOT NULL AND value <> '' AND value <> '<NA>'
+  AND lower(trim(value)) NOT IN ('-','nil','n/a','na','none','null','<na>')
+ORDER BY entity, variable
+"""
+
+QUERIES["p11_wide_observations"] = q_p11_wide_observations
+ORACLE_SQL["p11_wide_observations"] = SQL_P11

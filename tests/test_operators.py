@@ -255,3 +255,35 @@ def test_compress_literals_roundtrip(spark):
     dec = enc.withColumn("back", decompress_literals_udf()(F.col("bytes")))
     r = dec.filter(F.col("pred") == "geoJsonCoordinates").first()
     assert r.back == r.value
+
+
+def test_import_wide_observations(spark):
+    """P11/P10: ignore + mappings + melt + NA filter
+    (observations_importer.py:68-139, data.py:621-626)."""
+    from import_spark.operators.observations import import_wide_observations
+
+    wide = spark.createDataFrame(
+        [
+            ("usa", "2020", "1", "n/a", "x"),
+            ("fra", "2021", None, "2.5", "y"),
+            ("deu", "2022", "<NA>", "", "z"),
+        ],
+        ["place", "year", "Total Count", "Mean Income", "junk"],
+    )
+    out = import_wide_observations(wide, ignore_columns=["junk"]).collect()
+    got = {(r.entity, r.variable, r.date, r.value) for r in out}
+    # NA tokens / null / empty dropped; names sanitized to sv ids
+    assert got == {
+        ("usa", "custom/statvar_total_count", "2020", "1"),
+        ("fra", "custom/statvar_mean_income", "2021", "2.5"),
+    }
+    # explicit mappings override the positional defaults
+    out2 = import_wide_observations(
+        wide,
+        ignore_columns=["junk", "Mean Income"],
+        column_mappings={
+            "dcid:observationAbout": "place",
+            "dcid:observationDate": "year",
+        },
+    ).collect()
+    assert {r.variable for r in out2} == {"custom/statvar_total_count"}
