@@ -1197,9 +1197,9 @@ def q_dedup_embedding(spark, sf):
 SQL_DEDUP_EMB = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings)
 SELECT a.vec_id AS a, b.vec_id AS b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.4
 ORDER BY 1, 2
 """
 
