@@ -287,3 +287,34 @@ def test_metrics_table_written(spark, tmp_path):
     m = spark.read.parquet(os.path.join(out, "metrics"))
     rows = {(r.stage, r.counter) for r in m.collect()}
     assert ("merge", "triples_final") in rows and ("scan", "text_digest") in rows
+
+
+def test_resolver_distributed_no_batch_split_misfail(spark):
+    """Regression: with tiny Arrow batches, a node's pvs used to straddle
+    two pandas batches in the distributed assign step, mis-failing ~2%
+    of SVObs nodes (the node ran twice with partial state). The packed
+    one-row-per-node design makes the batch boundary irrelevant."""
+    rows = []
+    for i in range(120):
+        rows += [
+            (f"O{i}", "typeOf", "RESOLVED_REF", "StatVarObservation"),
+            (f"O{i}", "variableMeasured", "RESOLVED_REF", "Count_Person"),
+            (f"O{i}", "observationAbout", "RESOLVED_REF", f"geoId/{i:05d}"),
+            (f"O{i}", "observationDate", "TEXT", "2020"),
+            (f"O{i}", "value", "NUMBER", str(i)),
+        ]
+    nodes = _df(spark, rows)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        res = resolve_graph(nodes, force_distributed=True)
+        assert res.failed.count() == 0
+        dcids = {
+            r.node_id: r.value
+            for r in res.resolved.filter(
+                (F.col("prop") == "dcid")
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(dcids) == 120 and all(v.startswith("dc/o/") for v in dcids.values())
