@@ -262,6 +262,76 @@ def _nhash_len_16(u, v, mul):
     return b * mul
 
 
+def _nweak_hash_vals(w, x, y, z, a, b):
+    """Vectorized _weak_hash_len_32_with_seeds_vals."""
+    a = a + w
+    b = _nrotr(b + a + z, 21)
+    c = a
+    a = a + x
+    a = a + y
+    b = b + _nrotr(a, 44)
+    return a + z, b + c
+
+
+def _nfp_long(mat: "np.ndarray", n: int) -> "np.ndarray":
+    """Fingerprint64 for an (rows, n) byte matrix, n > 64 — the 64-byte
+    block loop vectorized across rows (same-length grouping means every
+    fetch offset is fixed; the block count n//64 is a tiny Python loop,
+    each iteration fully vectorized)."""
+    K0, K1, K2 = _U(_K0), _U(_K1), _U(_K2)
+    rows = mat.shape[0]
+    x = _U((81 * _K2) & _MASK) + _nfetch64(mat, 0)
+    y = np.full(rows, _U((81 * _K1 + 113) & _MASK), dtype=np.uint64)
+    z = _nshift_mix(y * K2 + _U(113)) * K2
+    v0 = np.zeros(rows, dtype=np.uint64)
+    v1 = np.zeros(rows, dtype=np.uint64)
+    w0 = np.zeros(rows, dtype=np.uint64)
+    w1 = np.zeros(rows, dtype=np.uint64)
+
+    def weak32(pos, a, b):
+        return _nweak_hash_vals(
+            _nfetch64(mat, pos),
+            _nfetch64(mat, pos + 8),
+            _nfetch64(mat, pos + 16),
+            _nfetch64(mat, pos + 24),
+            a,
+            b,
+        )
+
+    end = ((n - 1) // 64) * 64
+    last64 = n - 64
+    pos = 0
+    while pos != end:
+        x = _nrotr(x + y + v0 + _nfetch64(mat, pos + 8), 37) * K1
+        y = _nrotr(y + v1 + _nfetch64(mat, pos + 48), 42) * K1
+        x = x ^ w1
+        y = y + v0 + _nfetch64(mat, pos + 40)
+        z = _nrotr(z + w0, 33) * K1
+        v0, v1 = weak32(pos, v1 * K1, x + w0)
+        w0, w1 = weak32(pos + 32, z + w1, y + _nfetch64(mat, pos + 16))
+        x, z = z, x
+        pos += 64
+
+    mul = K1 + ((z & _U(0xFF)) << _U(1))
+    pos = last64
+    w0 = w0 + _U((n - 1) & 63)
+    v0 = v0 + w0
+    w0 = w0 + v0
+    x = _nrotr(x + y + v0 + _nfetch64(mat, pos + 8), 37) * mul
+    y = _nrotr(y + v1 + _nfetch64(mat, pos + 48), 42) * mul
+    x = x ^ (w1 * _U(9))
+    y = y + v0 * _U(9) + _nfetch64(mat, pos + 40)
+    z = _nrotr(z + w0, 33) * mul
+    v0, v1 = weak32(pos, v1 * mul, x + w0)
+    w0, w1 = weak32(pos + 32, z + w1, y + _nfetch64(mat, pos + 16))
+    x, z = z, x
+    return _nhash_len_16(
+        _nhash_len_16(v0, w0, mul) + _nshift_mix(y) * K0 + z,
+        _nhash_len_16(v1, w1, mul) + x,
+        mul,
+    )
+
+
 def _nfp_fixed(mat: "np.ndarray", n: int) -> "np.ndarray":
     """Fingerprint64 for an (rows, n) byte matrix, 1 <= n <= 64."""
     K0, K1, K2 = _U(_K0), _U(_K1), _U(_K2)
@@ -326,14 +396,10 @@ def fingerprint64_batch(values) -> "np.ndarray":
         idx = np.nonzero(lens == L)[0]
         if L == 0:
             out[idx] = _U(_K2)
-        elif L > 64:
-            out[idx] = np.fromiter(
-                (fingerprint64(enc[i]) for i in idx), dtype=np.uint64, count=len(idx)
-            )
         else:
             blob = b"".join(enc[i] for i in idx)
             mat = np.frombuffer(blob, dtype=np.uint8).reshape(-1, L)
-            out[idx] = _nfp_fixed(mat, int(L))
+            out[idx] = _nfp_long(mat, int(L)) if L > 64 else _nfp_fixed(mat, int(L))
     return out
 
 

@@ -90,10 +90,27 @@ def failed_node_ids(errors: DataFrame) -> DataFrame:
     )
 
 
+# Column-expression trees bind only to column NAMES, so they are
+# reusable across DataFrames; building them costs thousands of py4j
+# round-trips (~2-5s of driver time per call) — build once per process.
+_EXPR_CACHE: dict = {}
+
+
 def _row_checks(nodes: DataFrame) -> DataFrame:
+    checks = _EXPR_CACHE.get("row_checks")
+    if checks is None:
+        checks = _EXPR_CACHE["row_checks"] = _build_row_checks()
+    nid = F.col("node_id")
+    return (
+        nodes.select(nid.alias("node_id"), F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("e"))
+        .select("node_id", "e.level", "e.counter", "e.message")
+    )
+
+
+def _build_row_checks():
     p, vt, v, nid = F.col("prop"), F.col("value_type"), F.col("value"), F.col("node_id")
     is_ref_prop = p.isin(*sorted(V.REFERENCE_PROPS))
-    checks = F.array(
+    return F.array(
         _err(p == "", LEVEL_ERROR, "Sanity_EmptyProperty",
              _msg("Found an empty property :: node: '", nid, "'")),
         _err(
@@ -132,14 +149,26 @@ def _row_checks(nodes: DataFrame) -> DataFrame:
                  "', property: '", p, "', node: '", nid, "'"),
         ),
     )
-    return (
-        nodes.select(nid.alias("node_id"), F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("e"))
-        .select("node_id", "e.level", "e.counter", "e.message")
-    )
 
 
 def _node_checks(nodes: DataFrame) -> DataFrame:
     """One groupBy pass: per-node prop map + type-driven rules."""
+    cached = _EXPR_CACHE.get("node_checks")
+    if cached is None:
+        cached = _EXPR_CACHE["node_checks"] = _build_node_checks()
+    keep, aggs, checks = cached
+    nodes = nodes.select("node_id", "prop", "value").filter(keep).dropDuplicates(
+        ["node_id", "prop", "value"]
+    )
+    g = nodes.groupBy("node_id").agg(*aggs)
+    nid = F.col("node_id")
+    return g.select(
+        nid.alias("node_id"),
+        F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("e"),
+    ).select("node_id", "e.level", "e.counter", "e.message")
+
+
+def _build_node_checks():
     interesting = [
         "typeOf", "dcid", "name", "label",
         "variableMeasured", "observationAbout", "observationDate", "value",
@@ -148,17 +177,9 @@ def _node_checks(nodes: DataFrame) -> DataFrame:
         "domainIncludes", "rangeIncludes",
     ]
     keep = F.col("prop").isin(*interesting) | _is_stat_value_prop(F.col("prop"))
-
-    # DISTINCT (node, prop, value) first: the reference checks per-row
-    # sub-graphs where each node carries one PV set
-    # (McfChecker.java:683-729); in a global long-form table the same
-    # node legitimately repeats identical rows across source rows, so
-    # "multiple values" means multiple DISTINCT values. One partial-agg
-    # dedupe shuffle — NOT per-agg countDistinct, which would EXPAND the
-    # input once per aggregate.
-    nodes = nodes.select("node_id", "prop", "value").filter(keep).dropDuplicates(
-        ["node_id", "prop", "value"]
-    )
+    # DISTINCT (node, prop, value) before the agg (see _node_checks):
+    # "multiple values" means multiple DISTINCT values; one partial-agg
+    # dedupe shuffle, NOT per-agg countDistinct (EXPAND blowup).
 
     # conditional aggs (not a prop→value map: Spark raises on duplicate
     # map keys, and multi-value props are legal input here)
@@ -168,9 +189,7 @@ def _node_checks(nodes: DataFrame) -> DataFrame:
     def fst(prop, alias):
         return F.min(F.when(F.col("prop") == prop, F.col("value"))).alias(alias)
 
-    g = (
-        nodes.groupBy("node_id")
-        .agg(
+    aggs = (
             F.collect_set(F.when(F.col("prop") == "typeOf", F.col("value"))).alias("types"),
             cnt("dcid", "n_dcid"), fst("dcid", "dcid"),
             cnt("variableMeasured", "n_vm"), cnt("observationAbout", "n_oa"),
@@ -192,7 +211,6 @@ def _node_checks(nodes: DataFrame) -> DataFrame:
                     F.struct(F.col("prop"), F.col("value")),
                 )
             ).alias("statval"),
-        )
     )
     nid = F.col("node_id")
     types = F.col("types")
@@ -342,7 +360,4 @@ def _node_checks(nodes: DataFrame) -> DataFrame:
                  nid, "', type: 'Class'"),
         ),
     )
-    return g.select(
-        nid.alias("node_id"),
-        F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("e"),
-    ).select("node_id", "e.level", "e.counter", "e.message")
+    return keep, aggs, checks

@@ -215,13 +215,48 @@ def mutate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     # then one map per node — duplicate-safe for multi-value props,
     # matching the reference's first-typed-value pick) ---
     sv_rows = n.filter(F.col("is_statvar") & F.col("_skip").isNull())
+    sv_pv = sv_rows.groupBy("node_id", "prop").agg(F.min("value").alias("value"))
+    aggs, synth_rows_expr = _sv_synth_exprs()
+    sv_agg = sv_pv.groupBy("node_id").agg(*aggs)
+    synth = sv_agg.select("node_id", synth_rows_expr.alias("rows"))
+    sv_new = synth.select(
+        "node_id", F.explode("rows").alias("pv")
+    ).select(
+        "node_id",
+        F.col("pv.prop").alias("prop"),
+        F.col("pv.value_type").alias("value_type"),
+        F.col("pv.value").alias("value"),
+        F.lit("").alias("src_file"),
+    )
+
+    out = (
+        n.select(*_NODE_COLS)
+        .unionByName(child)
+        .unionByName(sv_new)
+    )
+    return out, errors
+
+
+# Column-expression trees bind only to column NAMES — reusable across
+# DataFrames; building this block costs seconds of py4j round-trips, so
+# build once per process.
+_SYNTH_CACHE: dict = {}
+
+
+def _sv_synth_exprs():
+    cached = _SYNTH_CACHE.get("sv")
+    if cached is None:
+        cached = _SYNTH_CACHE["sv"] = _build_sv_synth_exprs()
+    return cached
+
+
+def _build_sv_synth_exprs():
     non_constraint = list(V.NON_CONSTRAINT_STAT_VAR_PROPS)
     core_props = [
         "measurementDenominator", "measurementQualifier",
         "statType", "measuredProperty", "populationType",
     ]
-    sv_pv = sv_rows.groupBy("node_id", "prop").agg(F.min("value").alias("value"))
-    sv_agg = sv_pv.groupBy("node_id").agg(
+    aggs = (
         F.sort_array(
             F.collect_set(F.when(~F.col("prop").isin(*non_constraint), F.col("prop")))
         ).alias("cprops"),
@@ -291,8 +326,7 @@ def mutate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
         ),
     ).otherwise(F.lit(""))
 
-    synth = sv_agg.select(
-        "node_id",
+    synth_rows = (
         F.filter(
             F.concat(
                 F.transform(
@@ -323,21 +357,6 @@ def mutate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
                 ),
             ),
             lambda x: x.isNotNull(),
-        ).alias("rows"),
+        )
     )
-    sv_new = synth.select(
-        "node_id", F.explode("rows").alias("pv")
-    ).select(
-        "node_id",
-        F.col("pv.prop").alias("prop"),
-        F.col("pv.value_type").alias("value_type"),
-        F.col("pv.value").alias("value"),
-        F.lit("").alias("src_file"),
-    )
-
-    out = (
-        n.select(*_NODE_COLS)
-        .unionByName(child)
-        .unionByName(sv_new)
-    )
-    return out, errors
+    return aggs, synth_rows

@@ -55,3 +55,29 @@ def test_facet_id_unsigned_decimal():
     # TimeSeries.java:170-191: unsigned decimal of the fingerprint
     assert facet_id("test") == "8581389452482819506"
     assert int(facet_id("a")) == 12917804110809363939  # > 2^63: stays unsigned
+
+
+def test_batch_matches_scalar_all_lengths():
+    """fingerprint64_batch is bit-identical to the scalar spec for every
+    length bucket, including the >64-byte block-loop path."""
+    import random
+    import string
+
+    from import_spark.functions.farmhash import (
+        fingerprint64,
+        fingerprint64_batch,
+        long_id,
+        long_id_batch,
+    )
+
+    random.seed(42)
+    vals = [""]
+    for L in list(range(1, 70)) + [64, 65, 127, 128, 129, 191, 192, 193, 300]:
+        vals.append("".join(random.choices(string.printable, k=L)))
+    vals.append("café" * 40)  # multi-byte utf-8 crossing block bounds
+    got = fingerprint64_batch(vals)
+    for v, g in zip(vals, got):
+        assert int(g) == fingerprint64(v), repr(v[:20])
+    ids = long_id_batch(vals)
+    for v, g in zip(vals, ids):
+        assert g == long_id(v)
