@@ -214,6 +214,63 @@ def _resolve_defs_driver(def_rows) -> tuple[list, list, list]:
     )
 
 
+def _resolve_defs_vectorized(defs_pdf):
+    """Vectorized twin of ``_resolve_defs_driver`` (which remains the
+    spec/oracle in tests): chain-walk as pandas merge rounds instead of
+    a per-key Python loop — this runs driver-serial, so its wall-clock
+    directly caps the pipeline's N→4N scaling efficiency (~10s → <1s
+    at 840k defs).
+
+    Each round follows every pending chain one step via one merge; a
+    round that terminates no chain (no RESOLVED hit, no dead end) means
+    every remaining path is infinite (a cycle or feeding one) →
+    unresolved, matching the driver walk's seen-set cycle rule.
+
+    Returns (resolved[conv,key,dcid], divergent[conv,key],
+    unresolved[conv,key]) pandas frames.
+    """
+    import pandas as pd
+
+    d = defs_pdf.drop_duplicates(["conv_id", "subj", "obj_type", "obj"])
+    dup = d.duplicated(["conv_id", "subj"], keep=False)
+    divergent = d.loc[dup, ["conv_id", "subj"]].drop_duplicates().rename(
+        columns={"subj": "key"}
+    )
+    clean = d[~dup]
+    is_res = clean["obj_type"] == "RESOLVED_REF"
+    resolved_parts = [
+        clean.loc[is_res, ["conv_id", "subj", "obj"]].rename(
+            columns={"subj": "key", "obj": "dcid"}
+        )
+    ]
+    unresolved_parts = []
+    pend = clean.loc[~is_res, ["conv_id", "subj", "obj"]].rename(columns={"subj": "key"})
+    base = clean.rename(columns={"subj": "_tkey", "obj_type": "_ttype", "obj": "_tobj"})
+    while len(pend):
+        m = pend.merge(
+            base, left_on=["conv_id", "obj"], right_on=["conv_id", "_tkey"], how="left"
+        )
+        dead = m["_tkey"].isna()
+        hit = m["_ttype"] == "RESOLVED_REF"
+        if not dead.any() and not hit.any():
+            unresolved_parts.append(m[["conv_id", "key"]])
+            break
+        unresolved_parts.append(m.loc[dead, ["conv_id", "key"]])
+        resolved_parts.append(
+            m.loc[hit, ["conv_id", "key", "_tobj"]].rename(columns={"_tobj": "dcid"})
+        )
+        pend = m.loc[~dead & ~hit, ["conv_id", "key", "_tobj"]].rename(
+            columns={"_tobj": "obj"}
+        )
+    resolved = pd.concat(resolved_parts, ignore_index=True)
+    unresolved = (
+        pd.concat(unresolved_parts, ignore_index=True)
+        if unresolved_parts
+        else pd.DataFrame(columns=["conv_id", "key"])
+    )
+    return resolved, divergent, unresolved
+
+
 @dataclass
 class ResolvedMaps:
     """Outcome of the driver-side def fixpoint, as broadcastable DFs.
@@ -251,19 +308,19 @@ def resolve_defs_fast(
         .select("conv_id", "subj", "obj_type", "obj")
         .toPandas()
     )
-    res, div, unres = _resolve_defs_driver(
-        defs_pdf.itertuples(index=False, name=None)
-    )
+    res_pdf, div_pdf, unres_pdf = _resolve_defs_vectorized(defs_pdf)
 
-    def _df(rows: list, cols: list[str], schema: str) -> DataFrame:
-        if not rows:
+    def _df(pdf: "pd.DataFrame", cols: list[str], schema: str) -> DataFrame:
+        if not len(pdf):
             return spark.createDataFrame([], schema)
-        return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
+        pdf = pdf.copy()
+        pdf.columns = cols
+        return spark.createDataFrame(pdf, schema)
 
     return ResolvedMaps(
-        rmap=F.broadcast(_df(res, ["conv_id", "obj", "dcid"], "conv_id string, obj string, dcid string")),
-        divergent=F.broadcast(_df(div, ["conv_id", "obj"], "conv_id string, obj string")),
-        unresolved=F.broadcast(_df(unres, ["conv_id", "obj"], "conv_id string, obj string")),
+        rmap=F.broadcast(_df(res_pdf, ["conv_id", "obj", "dcid"], "conv_id string, obj string, dcid string")),
+        divergent=F.broadcast(_df(div_pdf, ["conv_id", "obj"], "conv_id string, obj string")),
+        unresolved=F.broadcast(_df(unres_pdf, ["conv_id", "obj"], "conv_id string, obj string")),
     )
 
 

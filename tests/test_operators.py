@@ -287,3 +287,41 @@ def test_import_wide_observations(spark):
         },
     ).collect()
     assert {r.variable for r in out2} == {"custom/statvar_total_count"}
+
+
+def test_resolve_defs_vectorized_parity():
+    """Vectorized def resolution == the pure-Python spec walk on random
+    graphs with chains, cycles, self-loops, divergence, and orphans."""
+    import random
+
+    import pandas as pd
+
+    from import_spark.operators.resolve import (
+        _resolve_defs_driver,
+        _resolve_defs_vectorized,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for conv in range(40):
+        c = f"c{conv}"
+        n = rng.randint(1, 25)
+        for i in range(n):
+            kind = rng.random()
+            if kind < 0.35:
+                rows.append((c, f"l{i}", "RESOLVED_REF", f"dcid/{conv}_{i}"))
+            elif kind < 0.85:
+                rows.append((c, f"l{i}", "UNRESOLVED_REF", f"l{rng.randrange(n + 3)}"))
+            else:  # divergent: two distinct targets
+                rows.append((c, f"l{i}", "RESOLVED_REF", f"dcid/a{i}"))
+                rows.append((c, f"l{i}", "RESOLVED_REF", f"dcid/b{i}"))
+        # explicit self-loop + 2-cycle
+        rows.append((c, "self", "UNRESOLVED_REF", "self"))
+        rows.append((c, "x", "UNRESOLVED_REF", "y"))
+        rows.append((c, "y", "UNRESOLVED_REF", "x"))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "subj", "obj_type", "obj"])
+    res, div, unres = _resolve_defs_driver(pdf.itertuples(index=False, name=None))
+    vres, vdiv, vunres = _resolve_defs_vectorized(pdf)
+    assert set(map(tuple, vres.values)) == set(res)
+    assert set(map(tuple, vdiv.values)) == set(div)
+    assert set(map(tuple, vunres.values)) == set(unres)
