@@ -11,12 +11,14 @@ GraphIngestionPipeline.java:44-113 + Processor.java:59-147):
 6. merge       — single-shuffle dedupe, subject-hash layout, write
 
 Pass discipline (what makes this scale): the extracted+linked statement
-set is materialized ONCE as a columnar snapshot (zstd parquet — the
-in-sandbox stand-in for an Iceberg stage table); every later consumer
-is a column-pruned, predicate-pushed scan of that snapshot instead of a
-JVM-object cache (deserialized caches of wide string rows are GC poison
-at high core counts). The big table is shuffled exactly once (dedupe)
-and the final row count comes from parquet metadata, not a recount.
+set is materialized ONCE — as a kind-partitioned zstd-parquet snapshot
+(the in-sandbox stand-in for an Iceberg stage table) when a
+checkpoint_dir requests cross-process resumability, else as a
+compressed columnar in-memory cache (same single-execution guarantee,
+no encode+decode round-trip of the statement table). Every later
+consumer is a column-pruned scan of that materialization. The big
+table is shuffled exactly once (dedupe) and the final row count comes
+from parquet metadata, not a recount.
 
 Every stage records counters into a metrics list
 (``(run_id, stage, counter, value)`` — the LogWrapper counter model,
@@ -31,7 +33,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 import time
 from dataclasses import dataclass, field
 
@@ -112,37 +113,42 @@ def run_pipeline(
     m.add("scan", "text_digest", din)
 
     # 2-3. extract + link: one fused Python stage + broadcast join,
-    # materialized ONCE as a columnar snapshot
+    # materialized ONCE. With a checkpoint_dir the snapshot is a
+    # kind-partitioned parquet table (resumable across processes:
+    # DEF/ERROR scans touch only their tiny files); without one, an
+    # in-memory columnar cache — same single-execution guarantee minus
+    # a full zstd encode+decode round-trip of the statement table
+    # (which is pure memory/disk bandwidth, the one resource a single
+    # box cannot scale).
+    snap = None
+    keep = False
     if checkpoint_dir:
         snap = os.path.join(checkpoint_dir, run_id, "linked")
         keep = True if keep_snapshot is None else keep_snapshot
+        # Resume is only valid if the snapshot was built from the SAME
+        # inputs: persist (text digest, dcid-dict digest) alongside it
+        # and compare before trusting _SUCCESS (stale run_id reuse
+        # otherwise silently serves an old extract+link).
+        dict_digest = (
+            dcid_dict.select(F.bit_xor(F.xxhash64(*dcid_dict.columns)).alias("d")).collect()[0]["d"]
+            or 0
+        )
+        digest_path = os.path.join(snap, "_input_digest.json")
+        cur_digest = {"text_digest": din, "dict_digest": dict_digest}
+        resume_ok = False
+        if os.path.exists(os.path.join(snap, "_SUCCESS")) and os.path.exists(digest_path):
+            with open(digest_path) as f:
+                resume_ok = json.load(f) == cur_digest
+        if resume_ok:
+            m.add("link", "resumed_from_checkpoint", 1)
+        else:
+            linked_plan = extract_and_link(transcripts, dcid_map_from_df(dcid_dict))
+            linked_plan.write.mode("overwrite").partitionBy("kind").parquet(snap)
+            with open(digest_path, "w") as f:
+                json.dump(cur_digest, f)
+        linked = spark.read.parquet(snap)
     else:
-        snap = os.path.join(tempfile.gettempdir(), f"import_spark_snap_{run_id}_{os.getpid()}")
-        keep = False if keep_snapshot is None else keep_snapshot
-    # Resume is only valid if the snapshot was built from the SAME
-    # inputs: persist (text digest, dcid-dict digest) alongside it and
-    # compare before trusting _SUCCESS (stale run_id reuse otherwise
-    # silently serves an old extract+link).
-    dict_digest = (
-        dcid_dict.select(F.bit_xor(F.xxhash64(*dcid_dict.columns)).alias("d")).collect()[0]["d"]
-        or 0
-    )
-    digest_path = os.path.join(snap, "_input_digest.json")
-    cur_digest = {"text_digest": din, "dict_digest": dict_digest}
-    resume_ok = False
-    if os.path.exists(os.path.join(snap, "_SUCCESS")) and os.path.exists(digest_path):
-        with open(digest_path) as f:
-            resume_ok = json.load(f) == cur_digest
-    if resume_ok:
-        m.add("link", "resumed_from_checkpoint", 1)
-    else:
-        linked_plan = extract_and_link(transcripts, dcid_map_from_df(dcid_dict))
-        # kind-partitioned snapshot: DEF/ERROR scans touch only their
-        # (tiny) files; TRIPLE scans skip them
-        linked_plan.write.mode("overwrite").partitionBy("kind").parquet(snap)
-        with open(digest_path, "w") as f:
-            json.dump(cur_digest, f)
-    linked = spark.read.parquet(snap)
+        linked = extract_and_link(transcripts, dcid_map_from_df(dcid_dict)).persist()
 
     # counters: ONE pruned scan — (kind, pred) covers the per-kind row
     # totals AND the per-counter ERROR breakdown (pred carries the
@@ -283,7 +289,11 @@ def run_pipeline(
         ).write.mode("append").partitionBy("run_id").parquet(
             os.path.join(out_dir, "metrics")
         )
-    if not keep and os.path.exists(snap):
+    if snap is None:
+        # final is materialized (counted above); release the cache so
+        # repeated in-process runs don't accumulate executor storage
+        linked.unpersist()
+    elif not keep and os.path.exists(snap):
         shutil.rmtree(snap, ignore_errors=True)
 
     return PipelineResult(
