@@ -161,12 +161,20 @@ def _expand_batch(
         for tn in template
     }
 
-    # pass 1: node ids (dcid-first, TmcfCsvParser.java:156-230)
+    # pass 1: node ids (dcid-first, TmcfCsvParser.java:156-230).
+    # An entity whose template maps ``dcid`` but whose cell is empty (or
+    # whose column is missing) is SKIPPED for that row, and E: refs to
+    # it are dropped — TmcfCsvParser.java:196-199 ("Case of
+    # malformed/empty DCID. SKip this node") and :268-280
+    # (CSV_EmptyDcidReferences drops the ref value). Verified against
+    # the reference's McfResolverTest_TmcfCsv golden.
     node_ids: dict[str, pd.Series] = {}
     is_dcid: dict[str, pd.Series] = {}
+    skip_rows: dict[str, pd.Series] = {}
     for tn in template:
         fallback = tn.table + "/" + tn.entity + "/" + rowid
         col = dcid_cols[tn.entity]
+        has_dcid_prop = col is not None or dcid_consts[tn.entity] is not None
         if col and col in pdf.columns:
             raw = pdf[col]
             present = raw.notna() & (raw.astype(str) != "")
@@ -174,14 +182,19 @@ def _expand_batch(
             dc = parsed["value"].where(present)
             node_ids[tn.entity] = dc.fillna(fallback)
             is_dcid[tn.entity] = present
+            skip_rows[tn.entity] = ~present
         elif dcid_consts[tn.entity]:
             tv = parse_typed_value("dcid", dcid_consts[tn.entity])
             const = tv[1] if tv else None
             node_ids[tn.entity] = pd.Series(const or fallback, index=pdf.index)
             is_dcid[tn.entity] = pd.Series(const is not None, index=pdf.index)
+            skip_rows[tn.entity] = pd.Series(const is None, index=pdf.index)
         else:
             node_ids[tn.entity] = fallback
             is_dcid[tn.entity] = pd.Series(False, index=pdf.index)
+            # dcid column referenced but absent from the CSV: the
+            # reference logs CSV_TmcfMissingColumn and skips the node
+            skip_rows[tn.entity] = pd.Series(has_dcid_prop, index=pdf.index)
 
     def emit(idx, nid, prop, vt, val):
         frames.append(
@@ -200,6 +213,10 @@ def _expand_batch(
     # pass 2: emit statements — one vectorized pass per template term
     for tn in template:
         nid = node_ids[tn.entity]
+        active = ~skip_rows[tn.entity]
+        act_idx = pdf.index[active]
+        if not len(act_idx):
+            continue
         # template-assigned dcids stay as a PV on the node (the
         # reference's dcid-first pass keeps Vocabulary.DCID among the
         # node's PVs, which McfResolver.assignDcids checks —
@@ -213,21 +230,27 @@ def _expand_batch(
             if kind == "CONST":
                 tv = parse_typed_value(prop, payload)
                 if tv:
-                    emit(pdf.index, nid, prop, tv[0], tv[1])
+                    emit(act_idx, nid, prop, tv[0], tv[1])
             elif kind == "ENTITY":
                 tgt = payload
                 if tgt in node_ids:
-                    resolved = is_dcid[tgt]
-                    val = np.where(resolved, node_ids[tgt], "l:" + node_ids[tgt])
+                    # refs to a dcid-skipped target row are DROPPED
+                    # (CSV_EmptyDcidReferences, TmcfCsvParser.java:268-280)
+                    keep = active & ~skip_rows[tgt]
+                    kidx = pdf.index[keep]
+                    if not len(kidx):
+                        continue
+                    resolved = is_dcid[tgt].loc[kidx]
+                    val = np.where(resolved, node_ids[tgt].loc[kidx], "l:" + node_ids[tgt].loc[kidx])
                     vt = np.where(resolved, "RESOLVED_REF", "UNRESOLVED_REF")
-                    emit(pdf.index, nid, prop, pd.Series(vt, index=pdf.index), pd.Series(val, index=pdf.index))
+                    emit(kidx, nid, prop, pd.Series(vt, index=kidx), pd.Series(val, index=kidx))
                 else:
-                    emit(pdf.index, nid, prop, "UNRESOLVED_REF", f"l:{tgt}")
+                    emit(act_idx, nid, prop, "UNRESOLVED_REF", f"l:{tgt}")
             else:  # COLUMN
                 if payload not in pdf.columns:
                     continue
                 cell = pdf[payload]
-                present = cell.notna()
+                present = cell.notna() & active
                 cs = cell.astype(str).where(present, "")
                 present &= cs != ""
                 if not present.any():
@@ -311,11 +334,24 @@ def expand_template(
 
 
 def read_csv(spark: SparkSession, path: str) -> DataFrame:
-    """S3: CSV scan with header + backslash escapes (TmcfCsvParser.java:55-112)."""
-    return (
+    """S3: CSV scan with header + backslash escapes (TmcfCsvParser.java:55-112).
+
+    Commons-CSV (``withEscape('\\\\')``) honors backslash escapes ANYWHERE
+    in a field; Spark's ``escape`` option only applies inside quoted
+    fields — so ``\\"x\\"`` in an unquoted field keeps its backslashes.
+    A post-scan ``\\<char> → <char>`` pass restores parity (verified
+    against the reference's own McfResolverTest_TmcfCsv.csv fixture)."""
+    df = (
         spark.read.option("header", True)
         .option("escape", "\\")
         .option("ignoreLeadingWhiteSpace", True)
         .option("ignoreTrailingWhiteSpace", True)
         .csv(path)
     )
+    unesc = [
+        F.regexp_replace(F.col(c), r"\\(.)", "$1").alias(c)
+        if t == "string"
+        else F.col(c)
+        for c, t in df.dtypes
+    ]
+    return df.select(*unesc)

@@ -318,3 +318,49 @@ def test_resolver_distributed_no_batch_split_misfail(spark):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert len(dcids) == 120 and all(v.startswith("dc/o/") for v in dcids.values())
+
+
+REF_FIXTURES = "/root/reference/util/src/test/resources/org/datacommons/util"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_FIXTURES), reason="reference fixtures not present")
+def test_genmcf_reference_golden_tmcf_csv(spark):
+    """End-to-end parity against the reference's own McfResolverTest
+    fixture: TMCF x CSV -> resolved graph must match
+    McfResolverTest_Resolved_TmcfCsvSuccess.mcf semantically —
+    bit-identical content-hash dcids (dc/o/... via FarmHash), resolved
+    refs, the empty-dcid row-2 entity skipped with its dangling ref
+    dropped (TmcfCsvParser.java:196-199,268-280), and nothing
+    quarantined (the Failure golden is empty)."""
+    from import_spark.plans.genmcf import run_genmcf
+    from import_spark.sources.mcf import read_mcf
+    from import_spark.sources.tmcf import read_csv
+
+    csv = read_csv(spark, f"{REF_FIXTURES}/McfResolverTest_TmcfCsv.csv")
+    tmcf = open(f"{REF_FIXTURES}/McfResolverTest_TmcfCsv.tmcf").read()
+    res = run_genmcf(spark, tmcf, csv)
+    assert res.failed.count() == 0  # Failure golden is empty
+
+    ours = res.nodes.dropDuplicates(["node_id", "prop", "value_type", "value"]).collect()
+    our_dcid = {}
+    for r in ours:
+        if r.prop == "dcid":
+            our_dcid[r.node_id] = r.value
+    got = {
+        (our_dcid[r.node_id], r.prop, r.value)
+        for r in ours
+        if r.prop != "dcid"
+    }
+
+    golden = read_mcf(spark, f"{REF_FIXTURES}/McfResolverTest_Resolved_TmcfCsvSuccess.mcf").collect()
+    g_dcid = {r.node_id: r.value for r in golden if r.prop == "dcid"}
+    want = {
+        (g_dcid[r.node_id], r.prop, r.value)
+        for r in golden
+        if r.prop not in ("dcid", "keyString")  # keyString is a DcidGenerator TEST_MODE artifact
+    }
+    assert got == want
+    # the generated SVObs dcids are bit-identical to the reference's
+    assert {v for v in g_dcid.values() if v.startswith("dc/o/")} == {
+        v for v in our_dcid.values() if v.startswith("dc/o/")
+    }

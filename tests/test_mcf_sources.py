@@ -103,7 +103,7 @@ def test_expand_template(spark):
         [
             ("2019", "dcid:geoId/06", "100", 1),
             ("2020", "dcid:geoId/36", "200, 300", 2),  # multi-value cell
-            ("2021", None, "400", 3),  # missing dcid → local entity ref
+            ("2021", None, "400", 3),  # empty dcid → entity skipped, ref dropped
         ],
         ["Year", "GeoId", "Count", "rid"],
     )
@@ -118,8 +118,10 @@ def test_expand_template(spark):
     # multi-value split (P2)
     assert ("Table/E0/2", "value", "NUMBER", "200") in got
     assert ("Table/E0/2", "value", "NUMBER", "300") in got
-    # missing dcid → local ref to generated entity id
-    assert ("Table/E0/3", "observationAbout", "UNRESOLVED_REF", "l:Table/E1/3") in got
-    assert ("Table/E1/3", "typeOf", "RESOLVED_REF", "State") in got
+    # empty dcid: the entity is SKIPPED for that row and the dangling
+    # E: ref dropped (TmcfCsvParser.java:196-199,268-280 — verified
+    # against the McfResolverTest_TmcfCsv golden; NOT a local ref)
+    assert not any(n == "Table/E1/3" for (n, _, _, _) in got)
+    assert not any(n == "Table/E0/3" and p == "observationAbout" for (n, p, _, _) in got)
     # constants pass through on every row
     assert ("Table/E0/3", "measurementMethod", "RESOLVED_REF", "TestMethod") in got
