@@ -361,3 +361,14 @@ def _build_node_checks():
         ),
     )
     return keep, aggs, checks
+
+
+def check_gate(nodes: DataFrame) -> DataFrame:
+    """The TmcfCsvParser inline per-node gate (TmcfCsvParser.java:225-228):
+    a node with ANY check entry — warnings included, because
+    McfChecker.addLog sets nodeFailure unconditionally
+    (McfChecker.java:790-793) — is dropped from the parsed graph.
+    Distinct from the lint/resolution quarantine, which only acts on
+    LEVEL_ERROR rows (failed_node_ids)."""
+    flagged = check_nodes(nodes).select("node_id").distinct()
+    return nodes.join(flagged, "node_id", "left_anti")

@@ -348,10 +348,16 @@ def read_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("ignoreTrailingWhiteSpace", True)
         .csv(path)
     )
+    def unescape(col):
+        # commons-csv readEscape(): \n/\t/\r/\b/\f map to their control
+        # chars; any other \<char> is the char itself; \\ is a backslash
+        c = F.regexp_replace(col, r"\\\\", "\u0000")
+        for esc, rep in (("n", "\n"), ("t", "\t"), ("r", "\r"), ("b", "\b"), ("f", "\f")):
+            c = F.regexp_replace(c, r"\\" + esc, rep)
+        c = F.regexp_replace(c, r"\\(.)", "$1")
+        return F.regexp_replace(c, "\u0000", r"\\")
     unesc = [
-        F.regexp_replace(F.col(c), r"\\(.)", "$1").alias(c)
-        if t == "string"
-        else F.col(c)
+        unescape(F.col(c)).alias(c) if t == "string" else F.col(c)
         for c, t in df.dtypes
     ]
     return df.select(*unesc)

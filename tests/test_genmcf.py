@@ -364,3 +364,59 @@ def test_genmcf_reference_golden_tmcf_csv(spark):
     assert {v for v in g_dcid.values() if v.startswith("dc/o/")} == {
         v for v in our_dcid.values() if v.startswith("dc/o/")
     }
+
+
+def _fixture_csv(spark, name):
+    """Load a fixture CSV preserving file order with 1-based row ids
+    (TmcfCsvParser TEST-mode line numbers)."""
+    from import_spark.sources.tmcf import read_csv
+
+    pdf = read_csv(spark, f"{REF_FIXTURES}/{name}").toPandas()
+    return spark.createDataFrame(pdf.assign(rid=range(1, len(pdf) + 1)))
+
+
+def _golden_statements(spark, name, drop_props=()):
+    from import_spark.sources.mcf import read_mcf
+
+    rows = read_mcf(spark, f"{REF_FIXTURES}/{name}").collect()
+    return {
+        (r.node_id, r.prop, r.value_type, r.value)
+        for r in rows
+        if r.prop not in drop_props
+    }
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_FIXTURES), reason="reference fixtures not present")
+def test_tmcf_csv_parser_svo_golden(spark):
+    """TmcfCsvParserTest SVO golden: commons-CSV control escapes (the
+    row-3 \\n becomes a real newline, failing the ref charset check) and
+    the inline checkNode gate (ANY entry drops the node — the row-4 E1
+    with a missing value is dropped on a WARNING,
+    McfChecker.java:790-793)."""
+    from import_spark.operators.mcf_checker import check_gate
+    from import_spark.sources.tmcf import expand_template
+
+    csv = _fixture_csv(spark, "TmcfCsvParser_SVO.csv")
+    tmcf = open(f"{REF_FIXTURES}/TmcfCsvParser_SVO.tmcf").read()
+    got = {
+        (r.node_id, r.prop, r.value_type, r.value)
+        for r in check_gate(expand_template(csv, tmcf, row_id_col="rid")).collect()
+    }
+    want = _golden_statements(spark, "TmcfCsvParser_SVO.mcf")
+    assert got == want
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_FIXTURES), reason="reference fixtures not present")
+def test_tmcf_csv_parser_multivalue_golden(spark):
+    """TmcfCsvParserTest MultiValue golden: quote/escape-aware
+    multi-value cell splitting (StringUtil.splitAndStripWithQuoteEscape)."""
+    from import_spark.sources.tmcf import expand_template
+
+    csv = _fixture_csv(spark, "TmcfCsvParser_MultiValue.csv")
+    tmcf = open(f"{REF_FIXTURES}/TmcfCsvParser_MultiValue.tmcf").read()
+    got = {
+        (r.node_id, r.prop, r.value_type, r.value)
+        for r in expand_template(csv, tmcf, row_id_col="rid").collect()
+    }
+    want = _golden_statements(spark, "TmcfCsvParser_MultiValue.mcf")
+    assert got == want
