@@ -167,8 +167,22 @@ def legacy_pop_key_string(pvs: dict[str, str], constraints: set[str] | None = No
         if p not in V.NON_CONSTRAINT_STAT_VAR_PROPS
         and (constraints is None or p in constraints)
     )
+
+    def _val(p: str) -> str | None:
+        # complex values contribute their computed dcid
+        # (DcidGenerator.java:237-304 getValueAsDcid)
+        v = pvs[p]
+        if v.startswith("["):
+            cv = parse_complex_value(v)
+            return cv.dcid if cv else None
+        return v
+
     parts = [pop_type, location, pvs.get("memberOf", "")]
-    parts += [f"{p}{pvs[p]}" for p in cprops]
+    for p in cprops:
+        v = _val(p)
+        if v is None:
+            return None
+        parts.append(f"{p}{v}")
     return "".join(parts)
 
 

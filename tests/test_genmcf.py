@@ -175,7 +175,7 @@ def _check_resolution(got_rows, failed_ids, errors, rounds):
 
 def test_resolver_driver_alternation():
     rows = [(r + ("",)) for r in RESOLVE_ROWS]
-    resolved, failed, errors, rounds = resolve_graph_driver(rows)
+    resolved, _failed_rows, failed, errors, rounds = resolve_graph_driver(rows)
     _check_resolution(resolved, failed, errors, rounds)
 
 
@@ -420,3 +420,46 @@ def test_tmcf_csv_parser_multivalue_golden(spark):
     }
     want = _golden_statements(spark, "TmcfCsvParser_MultiValue.mcf")
     assert got == want
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_FIXTURES), reason="reference fixtures not present")
+def test_tmcf_csv_parser_popobs_golden(spark):
+    """TmcfCsvParserTest PopObs golden: legacy Population/Observation
+    templates, complex values, empty-dcid entity skipping with dangling
+    containedIn dropped, dcid-keyed nodes, l: refs to dcid-less
+    entities."""
+    from import_spark.operators.mcf_checker import check_gate
+    from import_spark.sources.tmcf import expand_template
+
+    csv = _fixture_csv(spark, "TmcfCsvParser_PopObs.csv")
+    tmcf = open(f"{REF_FIXTURES}/TmcfCsvParser_PopObs.tmcf").read()
+    got = {
+        (r.node_id, r.prop, r.value_type, r.value)
+        for r in check_gate(expand_template(csv, tmcf, row_id_col="rid")).collect()
+    }
+    want = _golden_statements(spark, "TmcfCsvParser_PopObs.mcf")
+    assert got == want
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_FIXTURES), reason="reference fixtures not present")
+@pytest.mark.parametrize("dist", [False, True])
+def test_mcf_resolver_instance_golden(spark, dist):
+    """McfResolverTest instance golden: the alternating resolver on the
+    reference's own unresolved-instance fixture must reproduce both the
+    Success and Failure graphs — bit-identical legacy dc/p/ and dc/o/
+    content-hash dcids (complex [Years 18 -] contributing
+    Years18Onwards to the population key), loop/orphan quarantine, and
+    failed nodes keeping partial ref-resolution progress."""
+    from import_spark.operators.mcf_resolver import resolve_graph
+    from import_spark.sources.mcf import read_mcf
+
+    nodes = read_mcf(spark, f"{REF_FIXTURES}/McfResolverTest_Unresolved_Instance.mcf")
+    # assign_statvar_dcids=False: McfResolver does NOT generate StatVar
+    # dcids (SVId fails in the golden)
+    res = resolve_graph(nodes, assign_statvar_dcids=False, force_distributed=dist)
+    got = {(r.node_id, r.prop, r.value_type, r.value) for r in res.resolved.collect()}
+    want = _golden_statements(spark, "McfResolverTest_Resolved_InstanceSuccess.mcf", ("keyString",))
+    assert got == want
+    gf = {(r.node_id, r.prop, r.value_type, r.value) for r in res.failed.drop("error").collect()}
+    wf = _golden_statements(spark, "McfResolverTest_Resolved_InstanceFailure.mcf", ("keyString",))
+    assert gf == wf
