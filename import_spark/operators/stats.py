@@ -23,21 +23,28 @@ from pyspark.sql import functions as F
 SERIES_KEY = ["entity", "variable"]
 
 
-def series_stats(obs: DataFrame) -> DataFrame:
-    return obs.groupBy(*SERIES_KEY).agg(
+def series_stats(obs: DataFrame, series_key: list[str] | None = None) -> DataFrame:
+    return obs.groupBy(*(series_key or SERIES_KEY)).agg(
         F.count("*").alias("n_obs"),
         F.avg("value").alias("mean_value"),
         F.stddev_pop("value").alias("std_value"),
     )
 
 
-def sigma_outliers(obs: DataFrame, n_sigma: float = 3.0) -> DataFrame:
-    """Flag points > n_sigma from the series mean (broadcast the stats)."""
-    stats = series_stats(obs).select(
-        *SERIES_KEY, F.col("mean_value").alias("_m"), F.col("std_value").alias("_s")
+def sigma_outliers(
+    obs: DataFrame, n_sigma: float = 3.0, series_key: list[str] | None = None
+) -> DataFrame:
+    """Flag points > n_sigma from the series mean (broadcast the stats).
+    ``series_key`` defaults to (entity, variable); pass the full facet
+    key (entity, variable, measurementMethod, observationPeriod,
+    scalingFactor, unit) for reference StatChecker parity
+    (StatChecker.java:55-63 keys series by all facet props)."""
+    key = series_key or SERIES_KEY
+    stats = series_stats(obs, key).select(
+        *key, F.col("mean_value").alias("_m"), F.col("std_value").alias("_s")
     )
     return (
-        obs.join(stats, SERIES_KEY)
+        obs.join(stats, key)
         .filter((F.col("_s") > 0) & (F.abs(F.col("value") - F.col("_m")) > n_sigma * F.col("_s")))
         .drop("_m", "_s")
         .withColumn("check", F.lit("StatsCheck_3SigmaOutlier"))
@@ -88,10 +95,10 @@ def date_granularity_issues(obs: DataFrame) -> DataFrame:
     return mixed.select(*SERIES_KEY, "check").unionByName(holes.select(*SERIES_KEY, "check"))
 
 
-def value_inconsistencies(obs: DataFrame) -> DataFrame:
+def value_inconsistencies(obs: DataFrame, series_key: list[str] | None = None) -> DataFrame:
     """Same (series, date) with conflicting values (StatChecker.java:596-633)."""
     return (
-        obs.groupBy(*SERIES_KEY, "date")
+        obs.groupBy(*(series_key or SERIES_KEY), "date")
         .agg(F.countDistinct("value").alias("n_values"))
         .filter(F.col("n_values") > 1)
         .withColumn("check", F.lit("StatsCheck_Inconsistent_Values"))

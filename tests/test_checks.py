@@ -118,3 +118,65 @@ def test_statvar_synthesis(spark):
     ).first()
     assert ids.id == "custom/statvar_my_fancy_var_2020_"
     assert len(ids.long_id) <= 255 and ids.long_id.startswith("custom/statvar_x")
+
+
+import os
+
+REF_FIXTURES = "/root/reference/util/src/test/resources/org/datacommons/util"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_FIXTURES), reason="reference fixtures not present")
+def test_stat_checker_reference_golden(spark):
+    """StatCheckerTest golden: the flagged (series, date, counter) set on
+    the reference's own SVObs fixture must match
+    StatCheckerTestReport.json — series keyed by the full facet
+    (place, sv, measurementMethod, ...), StatsCheck_Inconsistent_Values
+    on the method-less series at 2015, StatsCheck_3_Sigma on the
+    CensusACS5YrSurvey series at 2014."""
+    import json
+
+    from import_spark.operators.stats import sigma_outliers, value_inconsistencies
+    from import_spark.sources.mcf import read_mcf
+
+    rows = read_mcf(spark, f"{REF_FIXTURES}/StatCheckerTest.mcf").collect()
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r.node_id, {})[r.prop] = r.value
+    obs = spark.createDataFrame(
+        [
+            (
+                p.get("observationAbout"),
+                p.get("variableMeasured"),
+                p.get("measurementMethod", ""),
+                p.get("observationDate"),
+                float(p["value"]),
+            )
+            for p in by_node.values()
+            if p.get("typeOf") == "StatVarObservation" and "value" in p
+        ],
+        ["entity", "variable", "mm", "date", "value"],
+    )
+    key = ["entity", "variable", "mm"]
+    got = {
+        (r.entity, r.variable, r.mm, r.date, "StatsCheck_Inconsistent_Values")
+        for r in value_inconsistencies(obs, series_key=key).collect()
+    } | {
+        (r.entity, r.variable, r.mm, r.date, "StatsCheck_3_Sigma")
+        for r in sigma_outliers(obs, series_key=key).collect()
+    }
+
+    want = set()
+    rep = json.load(open(f"{REF_FIXTURES}/StatCheckerTestReport.json"))
+    for series in rep["statsCheckSummary"]:
+        for counter in series["validationCounters"]:
+            for pt in counter["problemPoints"]:
+                want.add(
+                    (
+                        series["placeDcid"],
+                        series["statVarDcid"],
+                        series["measurementMethod"],
+                        pt["date"],
+                        counter["counterKey"],
+                    )
+                )
+    assert got == want
