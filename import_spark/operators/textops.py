@@ -20,11 +20,37 @@ STOPWORDS_EN = [
     "the", "and", "of", "to", "in", "is", "was", "for", "with", "that",
 ]
 # tiny per-language marker sets for the heuristic scorer
+# Per-language stopword markers (top function words; overlaps across
+# languages are fine — each occurrence counts toward every language
+# listing it, and the per-language totals disambiguate). Dict ORDER is
+# the deterministic tie-break (first max wins) and the SQL oracle twin
+# in queries.py is GENERATED from this table, so both sides share one
+# source of truth.
 LANG_MARKERS = {
-    "en": ["the", "and", "with", "that", "this", "from"],
-    "de": ["der", "die", "und", "das", "nicht", "ist"],
-    "fr": ["le", "la", "les", "des", "est", "une"],
-    "es": ["el", "los", "las", "una", "está", "que"],
+    "en": ["the", "and", "with", "that", "this", "from", "have", "not",
+           "are", "was", "for", "you", "but", "his", "her", "they",
+           "what", "there", "which", "been", "their", "would", "about", "when"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ich", "sie",
+           "mit", "ein", "eine", "auf", "den", "dem", "des", "zu",
+           "von", "für", "werden", "auch", "einer", "sich", "nach", "wird"],
+    "fr": ["le", "la", "les", "des", "est", "une", "et", "dans",
+           "que", "pour", "pas", "sur", "avec", "son", "par", "plus",
+           "mais", "nous", "vous", "ils", "être", "fait", "cette", "aux"],
+    "es": ["el", "los", "las", "una", "está", "que", "de", "en",
+           "no", "con", "por", "para", "como", "más", "pero", "sus",
+           "esta", "entre", "cuando", "muy", "también", "hasta", "donde", "ser"],
+    "it": ["il", "di", "che", "per", "con", "non", "una", "sono",
+           "della", "nel", "alla", "più", "anche", "come", "dei", "questo",
+           "hanno", "essere", "ma", "gli", "delle", "nella", "loro", "questa"],
+    "pt": ["não", "uma", "com", "para", "por", "mais", "dos", "das",
+           "como", "mas", "foi", "ele", "tem", "são", "seu", "sua",
+           "pelo", "pela", "isso", "já", "também", "quando", "muito", "depois"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "met",
+           "voor", "zijn", "aan", "ook", "maar", "als", "dan", "bij",
+           "naar", "uit", "deze", "wordt", "heeft", "worden", "geen", "nog"],
+    "id": ["yang", "dan", "di", "untuk", "dengan", "tidak", "dari", "ini",
+           "itu", "pada", "adalah", "akan", "juga", "ke", "bisa", "ada",
+           "mereka", "saya", "kami", "atau", "dalam", "telah", "sudah", "karena"],
 }
 
 _WORD_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+"

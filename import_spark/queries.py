@@ -649,26 +649,40 @@ def q_text_language_id(spark, sf):
     return language_id(_t(spark, sf, "documents"))
 
 
-SQL_LANGUAGE_ID = r"""
+def _build_language_id_sql() -> str:
+    """DuckDB twin GENERATED from textops.LANG_MARKERS — one source of
+    truth for markers and tie-break order (first max in dict order)."""
+    from import_spark.operators.textops import LANG_MARKERS
+
+    counts = ",\n    ".join(
+        "len(list_filter(ws, w -> w IN ({}))) AS n_{}".format(
+            ",".join("'{}'".format(w) for w in ws), lang
+        )
+        for lang, ws in LANG_MARKERS.items()
+    )
+    names = ["n_" + lang for lang in LANG_MARKERS]
+    g = "greatest({})".format(", ".join(names))
+    langs = list(LANG_MARKERS)
+    case = ["WHEN {} = 0 THEN 'und'".format(g)]
+    case += ["WHEN n_{0} = {1} THEN '{0}'".format(lang, g) for lang in langs[:-1]]
+    case.append("ELSE '{}' END".format(langs[-1]))
+    return r"""
 WITH b AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
   FROM documents
 ), c AS (
   SELECT doc_id,
-    len(list_filter(ws, w -> w IN ('the','and','with','that','this','from'))) AS n_en,
-    len(list_filter(ws, w -> w IN ('der','die','und','das','nicht','ist'))) AS n_de,
-    len(list_filter(ws, w -> w IN ('le','la','les','des','est','une'))) AS n_fr,
-    len(list_filter(ws, w -> w IN ('el','los','las','una','está','que'))) AS n_es
+    {counts}
   FROM b
 )
 SELECT doc_id,
-  CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
-       WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
-       WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
-       WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
-       ELSE 'es' END AS lang_pred
+  CASE {case}
+    AS lang_pred
 FROM c
-"""
+""".format(counts=counts, case="\n       ".join(case))
+
+
+SQL_LANGUAGE_ID = _build_language_id_sql()
 
 
 def q_text_quality(spark, sf):

@@ -160,3 +160,25 @@ def test_ivf_ann_recall(spark):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, recall
+
+
+def test_language_id_eight_languages(spark):
+    """Marker-profile language ID distinguishes all 8 supported
+    languages; tie/empty → 'und'; the DuckDB oracle twin is generated
+    from the same marker table."""
+    from import_spark.operators.textops import language_id
+
+    rows = [
+        (1, "der hund ist nicht auf dem tisch und die katze auch nicht"),
+        (2, "le chat est dans la maison avec les enfants et pour nous"),
+        (3, "el perro no está en la casa pero los gatos son muy bonitos"),
+        (4, "il cane non è nella casa ma sono anche con il gatto per questo"),
+        (5, "o cão não está em casa mas são muito bonitos para ele já"),
+        (6, "de hond is niet in het huis maar ook een kat bij deze"),
+        (7, "anjing itu tidak ada di rumah tetapi mereka juga akan ke sana dengan saya"),
+        (8, "the quick brown fox jumps over the lazy dog and runs from this"),
+        (9, "zzz qqq xxx"),  # no markers → und
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert got == {1: "de", 2: "fr", 3: "es", 4: "it", 5: "pt", 6: "nl", 7: "id", 8: "en", 9: "und"}
