@@ -123,3 +123,54 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("meta_duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decoder: str = "fake"
+) -> DataFrame:
+    """Resize every image payload to (width, height) — Arrow-batched
+    ``mapInPandas``, one decode+resize+encode per payload inside the
+    batch loop. ``decoder='real'`` is the PIL integration point
+    (stubbed: no image libraries in this container); the fake decoder
+    emits a deterministic stand-in payload
+    ``sha256(orig || "WxH")``-seeded bytes of length width*height//64,
+    so batch shape, schema, and partition behavior are real and
+    testable."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "real image resize (PIL) is not available in this container; "
+            "use decoder='fake' for the deterministic stand-in"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = max(width * height // 64, 16)
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                seed = hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+                reps = (n_out + len(seed) - 1) // len(seed)
+                out.append((seed * reps)[:n_out])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "payload": out,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(gen, schema=RESIZED_SCHEMA)
+    )

@@ -182,3 +182,23 @@ def test_language_id_eight_languages(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
     assert got == {1: "de", 2: "fr", 3: "es", 4: "it", 5: "pt", 6: "nl", 7: "id", 8: "en", 9: "und"}
+
+
+def test_resize_images_plumbing(spark):
+    """Resize plumbing: deterministic fake output at the target dims;
+    real decoder honestly stubbed."""
+    import pytest as _pytest
+
+    from import_spark.operators.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, 12)
+    out = resize_images(media, 64, 32).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images
+    assert all(r.width == 64 and r.height == 32 for r in out)
+    assert all(len(bytes(r.payload)) == 64 * 32 // 64 for r in out)
+    # deterministic across runs
+    again = {r.media_id: bytes(r.payload) for r in resize_images(media, 64, 32).collect()}
+    assert {r.media_id: bytes(r.payload) for r in out} == again
+    with _pytest.raises(NotImplementedError):
+        resize_images(media, 64, 32, decoder="real")
