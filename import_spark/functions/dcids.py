@@ -123,11 +123,16 @@ LAST_REQUIRED_LEGACY_OBS_PROP_INDEX = ORDERED_LEGACY_OBS_KEY_PROPS.index(
 )
 
 
-def legacy_obs_key_string(pvs: dict[str, str]) -> str | None:
+def legacy_obs_key_string(
+    pvs: dict[str, str], counts: dict[str, int] | None = None
+) -> str | None:
     """Ordered legacy-Observation key (DcidGenerator.java:305-335).
 
-    Returns None when a required prop is missing or the observedNode is
-    still a local ref."""
+    Returns None when a required prop is missing, the observedNode is
+    still a local ref, or — when ``counts`` (per-prop typed-value
+    counts for the node) is given — any key prop is multi-valued: the
+    reference fails assignment outright on ``tvs.size() != 1``
+    (DcidGenerator.java:318-321), it never picks a first value."""
     parts = []
     for i, prop in enumerate(ORDERED_LEGACY_OBS_KEY_PROPS):
         val = pvs.get(prop)
@@ -135,14 +140,18 @@ def legacy_obs_key_string(pvs: dict[str, str]) -> str | None:
             if i <= LAST_REQUIRED_LEGACY_OBS_PROP_INDEX:
                 return None
             continue
+        if counts is not None and counts.get(prop, 0) > 1:
+            return None
         if prop == "observedNode" and val.startswith(V.INTERNAL_REF_PREFIX):
             return None
         parts.append(f"{prop}={val}")
     return "".join(parts)
 
 
-def legacy_obs_dcid(pvs: dict[str, str]) -> str | None:
-    key = legacy_obs_key_string(pvs)
+def legacy_obs_dcid(
+    pvs: dict[str, str], counts: dict[str, int] | None = None
+) -> str | None:
+    key = legacy_obs_key_string(pvs, counts)
     if key is None:
         return None
     return V.DC_NAMESPACE + "o/" + long_id(key)

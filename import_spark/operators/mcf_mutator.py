@@ -143,14 +143,22 @@ def mutate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     bad_obs_rows = n.filter(
         F.col("is_legacy_obs") & is_stat_val & ~F.col("value_type").isin("NUMBER", "TEXT")
     )
-    bad_obs_errors = bad_obs_rows.select(
-        "node_id",
-        F.lit("Mutator_InvalidObsValue").alias("counter"),
-        F.concat(
-            F.lit("Unexpected type for Observation value; must be number or text :: type: '"),
-            F.col("value_type"), F.lit("', property: '"), F.col("prop"),
-            F.lit("', node: '"), F.col("node_id"), F.lit("'"),
-        ).alias("message"),
+    # ONE entry per node: the reference returns the node unmutated on
+    # the first invalid value (McfMutator.java:76-90), so the counter
+    # increments once per node, not once per offending row; min(struct)
+    # pins a deterministic representative row for the message
+    bad_obs_errors = (
+        bad_obs_rows.groupBy("node_id")
+        .agg(F.min(F.struct("prop", "value_type")).alias("_r"))
+        .select(
+            "node_id",
+            F.lit("Mutator_InvalidObsValue").alias("counter"),
+            F.concat(
+                F.lit("Unexpected type for Observation value; must be number or text :: type: '"),
+                F.col("_r.value_type"), F.lit("', property: '"), F.col("_r.prop"),
+                F.lit("', node: '"), F.col("node_id"), F.lit("'"),
+            ).alias("message"),
+        )
     )
     errors = no_type.unionByName(bad_obs_errors)
     # reference semantics: a node with an invalid obs value passes
@@ -170,7 +178,11 @@ def mutate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     # --- 2. complex-value expansion ---
-    lut = F.broadcast(_complex_lookup(nodes))
+    # lookup from NON-skipped rows only: the reference returns an
+    # invalid-obs node unmutated and never expands its complex values
+    # (McfMutator.java:77-90 early return), so a COMPLEX_VALUE that
+    # appears only on a skipped node must not produce a child node
+    lut = F.broadcast(_complex_lookup(n.filter(F.col("_skip").isNull())))
     rewrite_cv = (
         (F.col("value_type") == "COMPLEX_VALUE")
         & F.col("_cv_dcid").isNotNull()

@@ -3,8 +3,11 @@
 The reference's #1 user entry point (Processor.java:59-147,299-407):
 
 1. parse/expand — TMCF template × CSV rows → instance statements
-   (TmcfCsvParser, our sources/tmcf.py); instance MCF files parsed the
-   same long form (McfParser, our sources/mcf.py)
+   (TmcfCsvParser, our sources/tmcf.py); each parsed node then runs the
+   inline sanity gate (TmcfCsvParser.java:224-228: any checker entry,
+   warnings included, drops the node from the parsed graph while its
+   entries still reach the report); instance MCF files parsed the
+   same long form (McfParser, our sources/mcf.py) and NOT gated here
 2. McfMutator.mutate (McfMutator.java:35-47) — complex-value → child
    nodes, legacy-obs value cleaning, StatVar synthesis
 3. McfChecker.check (McfChecker.java:62-98) — per-node sanity suite →
@@ -64,12 +67,24 @@ def run_genmcf(
     optional pre-parsed long-form MCF rows (read_mcf output) unioned in
     like Processor.processNodes."""
     stmts = None
+    parse_errors = None
     if csv_df is not None:
         stmts = expand_template(
             csv_df,
             tmcf_text,
             row_id_col=row_id_col,
             min_partitions=spark.sparkContext.defaultParallelism,
+        ).localCheckpoint()
+        # TmcfCsvParser inline gate (TmcfCsvParser.java:224-228): every
+        # parsed node runs the sanity suite and a node with ANY entry —
+        # warnings included, McfChecker.addLog sets nodeFailure
+        # unconditionally (McfChecker.java:790-793) — is dropped from
+        # the parsed graph; its entries still reach the report via the
+        # shared LogWrapper. Instance-MCF input is NOT gated here (the
+        # reference checks it post-mutation, Processor.java:330-345).
+        parse_errors = check_nodes(stmts).localCheckpoint()
+        stmts = stmts.join(
+            parse_errors.select("node_id").distinct(), "node_id", "left_anti"
         )
     if instance_nodes is not None:
         stmts = (
@@ -106,7 +121,7 @@ def run_genmcf(
         dcid_dict=full_dict or None,
     )
 
-    errors = (
+    post_errors = (
         mut_errors.withColumn("level", F.lit("LEVEL_ERROR"))
         .select("node_id", "level", "counter", "message")
         .unionByName(check_errors.select("node_id", "level", "counter", "message"))
@@ -115,12 +130,21 @@ def run_genmcf(
                 "node_id", "level", "counter", "message"
             )
         )
-        .localCheckpoint()
     )
+    # parse-gate entries join the report (shared LogWrapper) but not the
+    # success arithmetic: gated nodes never reach the post-mutation
+    # check the reference derives numNodeSuccesses from
+    errors = (
+        post_errors
+        if parse_errors is None
+        else post_errors.unionByName(
+            parse_errors.select("node_id", "level", "counter", "message")
+        )
+    ).localCheckpoint()
 
     # counters (Processor.java:395-397)
     n_nodes = mutated.select("node_id").distinct().count()
-    n_failed_sanity = failed_node_ids(errors).count()
+    n_failed_sanity = failed_node_ids(post_errors).count()
     info = {
         "NumNodeSuccesses": n_nodes - n_failed_sanity,
         "NumNodesProcessed": n_nodes,

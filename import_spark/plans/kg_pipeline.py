@@ -259,8 +259,10 @@ def run_pipeline(
             num_buckets=num_buckets,
             num_partitions=num_partitions,
         )
+        m.add("merge", "triples_written", 1)
         final = spark.read.parquet(tri_path)
         failed.write.mode("overwrite").parquet(os.path.join(out_dir, "failed"))
+        m.add("merge", "failed_written", 1)
     else:
         final = dedupe_triples(
             canon.select(*FINAL_COLS), num_partitions=num_partitions

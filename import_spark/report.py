@@ -35,11 +35,26 @@ def build_report(
     (NumRowSuccesses etc., Processor.java:395-397)."""
     if "level" not in errors.columns:
         errors = errors.withColumn("level", F.lit("LEVEL_ERROR"))
+    # Cap at insertion time like the reference (LogWrapper caps each
+    # counter at MAX_MESSAGES_PER_COUNTER as entries arrive): a naive
+    # collect_list-then-slice buffers EVERY message of a hot counter
+    # (millions of rows — the exact scenario reports exist for) in one
+    # aggregation buffer. Two bounded stages instead:
+    # 1. per (level, counter, input-partition): slice inside the task,
+    #    so no buffer outlives its own input partition;
+    # 2. final: each group shuffles at most max_messages per input
+    #    partition, flattened and re-sliced. No window, no skewed
+    #    single-reducer partition for the hot counter.
     agg = (
-        errors.groupBy("level", "counter")
+        errors.groupBy("level", "counter", F.spark_partition_id().alias("_p"))
         .agg(
-            F.count("*").alias("count"),
-            F.slice(F.collect_list("message"), 1, max_messages).alias("messages"),
+            F.count("*").alias("_c"),
+            F.slice(F.collect_list("message"), 1, max_messages).alias("_m"),
+        )
+        .groupBy("level", "counter")
+        .agg(
+            F.sum("_c").alias("count"),
+            F.slice(F.flatten(F.collect_list("_m")), 1, max_messages).alias("messages"),
         )
         .collect()
     )

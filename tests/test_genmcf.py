@@ -87,6 +87,47 @@ def test_mutator_missing_typeof_error(spark):
     assert [r.counter for r in errors.collect()] == ["Mutator_MissingTypeOf"]
 
 
+def test_mutator_invalid_obs_counter_once_per_node(spark):
+    """The reference returns an invalid-obs node unmutated on the FIRST
+    bad value (McfMutator.java:76-90) — one counter entry per node,
+    however many offending rows it has."""
+    nodes = _df(
+        spark,
+        [
+            ("O1", "typeOf", "RESOLVED_REF", "Observation"),
+            ("O1", "measuredValue", "COMPLEX_VALUE", "[Years 1 2]"),
+            ("O1", "meanValue", "RESOLVED_REF", "alsoBad"),
+        ],
+    )
+    _, errors = mutate_nodes(nodes)
+    got = [r for r in errors.collect() if r.counter == "Mutator_InvalidObsValue"]
+    assert len(got) == 1 and got[0].node_id == "O1"
+
+
+def test_mutator_skipped_node_complex_not_expanded(spark):
+    """A COMPLEX_VALUE appearing only on an invalid-obs (skipped) node
+    must not produce a child node — the reference never expands the
+    complex values of a node it returned unmutated."""
+    nodes = _df(
+        spark,
+        [
+            ("O1", "typeOf", "RESOLVED_REF", "Observation"),
+            ("O1", "measuredValue", "RESOLVED_REF", "bad"),
+            ("O1", "age", "COMPLEX_VALUE", "[Years 30 40]"),
+            # same complex value on a healthy node → still expanded
+            ("N2", "typeOf", "RESOLVED_REF", "Person"),
+            ("N2", "height", "COMPLEX_VALUE", "[Feet 5 6]"),
+        ],
+    )
+    out, errors = mutate_nodes(nodes)
+    node_ids = {r.node_id for r in out.collect()}
+    assert "Years30To40" not in node_ids  # skipped node's complex: no child
+    assert "Feet5To6" in node_ids  # healthy node's complex: expanded
+    # the skipped node's rows pass through unmutated
+    o1 = {(r.prop, r.value_type, r.value) for r in out.filter(F.col("node_id") == "O1").collect()}
+    assert ("age", "COMPLEX_VALUE", "[Years 30 40]") in o1
+
+
 # ---------------------------------------------------------------- checker
 
 
@@ -191,6 +232,38 @@ def test_resolver_distributed_parity(spark):
     assert fa == fb == {"B1", "B2"}
 
 
+@pytest.mark.parametrize("dist", [False, True])
+def test_resolver_legacy_obs_multivalue_key_prop_fails(spark, dist):
+    """DcidGenerator.forObservation fails outright when any legacy-obs
+    key prop has more than one typed value (DcidGenerator.java:318-321)
+    — the node is quarantined, never silently keyed on a first value."""
+    base = [
+        ("typeOf", "RESOLVED_REF", "Observation"),
+        ("observedNode", "RESOLVED_REF", "geoId/06"),
+        ("observationDate", "TEXT", "2020"),
+        ("measuredProperty", "RESOLVED_REF", "count"),
+        ("measuredValue", "NUMBER", "1"),
+    ]
+    rows = [("OK",) + r for r in base] + [
+        ("BAD",) + r for r in base
+    ] + [
+        ("BAD", "unit", "RESOLVED_REF", "Meter"),
+        ("BAD", "unit", "RESOLVED_REF", "Foot"),
+    ]
+    res = resolve_graph(_df(spark, rows), force_distributed=dist)
+    ok_dcids = [
+        r.value
+        for r in res.resolved.filter(
+            (F.col("node_id") == "OK") & (F.col("prop") == "dcid")
+        ).collect()
+    ]
+    assert len(ok_dcids) == 1 and ok_dcids[0].startswith("dc/o/")
+    failed_ids = {r.node_id for r in res.failed.select("node_id").distinct().collect()}
+    assert "BAD" in failed_ids
+    errs = {r.counter for r in res.errors.filter(F.col("node_id") == "BAD").collect()}
+    assert any(c.startswith("Resolution_DcidAssignmentFailure") for c in errs)
+
+
 def test_resolver_statvar_content_hash(spark):
     nodes = _df(
         spark,
@@ -244,6 +317,59 @@ def test_genmcf_end_to_end(spark, tmp_path):
     assert report["levelSummary"]["LEVEL_INFO"]["counters"]["NumNodesProcessed"] >= 4
     mcf_files = os.listdir(os.path.join(out_dir, "table_mcf_nodes"))
     assert any(f.startswith("part-") for f in mcf_files)
+
+
+def test_genmcf_parse_gate_drops_sanity_failing_row(spark):
+    """TmcfCsvParser inline gate (TmcfCsvParser.java:224-228): a CSV row
+    whose node fails McfChecker.checkNode at parse time is dropped from
+    the parsed graph — it must not reach table_mcf_nodes (nor get a
+    dcid) — while its checker entry still reaches the report through
+    the shared LogWrapper (McfChecker.java:790-793)."""
+    csv = spark.createDataFrame(
+        [("2019", "100", "US", 1), ("not-a-date", "200", "FR", 2)],
+        ["Year", "Count", "Iso", "rid"],
+    )
+    res = run_genmcf(spark, TMCF, csv, row_id_col="rid")
+    node_ids = {r.node_id for r in res.nodes.collect()}
+    # the bad-date SVObs node is gated out; the place node from the same
+    # row and the entire good row survive
+    assert "T/E0/2" not in node_ids
+    assert {"T/E0/1", "T/E1/1", "T/E1/2"} <= node_ids
+    errs = {(r.node_id, r.counter) for r in res.errors.collect()}
+    assert ("T/E0/2", "Sanity_InvalidObsDate") in errs
+    counters = res.report["levelSummary"]["LEVEL_ERROR"]["counters"]
+    assert counters.get("Sanity_InvalidObsDate", 0) >= 1
+    # success arithmetic counts only post-gate nodes (Processor.java:393-394)
+    info = res.report["levelSummary"]["LEVEL_INFO"]["counters"]
+    assert info["NumNodesProcessed"] == 3
+    assert info["NumNodeSuccesses"] == 3
+
+
+def test_report_hot_counter_capped_before_aggregation(spark):
+    """A hot counter (many failing rows) must reach the report with the
+    full count but at most MAX_MESSAGES_PER_COUNTER samples — capped
+    per input partition BEFORE the final aggregation (LogWrapper caps
+    at insertion, MAX_MESSAGES_PER_COUNTER=30), never buffering every
+    message of the group in one collect_list."""
+    from import_spark.report import MAX_MESSAGES_PER_COUNTER, build_report
+
+    n = 5000
+    errors = (
+        spark.range(n)
+        .selectExpr(
+            "concat('N', id) as node_id",
+            "'LEVEL_ERROR' as level",
+            "'Sanity_Hot' as counter",
+            "concat('msg ', id) as message",
+        )
+        .repartition(8)
+    )
+    report = build_report(errors)
+    assert report["levelSummary"]["LEVEL_ERROR"]["counters"]["Sanity_Hot"] == n
+    (entry,) = report["entries"]
+    assert entry["count"] == n
+    assert len(entry["messageSamples"]) == MAX_MESSAGES_PER_COUNTER
+    assert all(m.startswith("msg ") for m in entry["messageSamples"])
 
 
 def test_genmcf_instance_mcf_union(spark):
