@@ -253,16 +253,31 @@ def run_pipeline(
         canon = drop_generic_types(canon)
     if out_dir:
         tri_path = os.path.join(out_dir, "triples")
-        dedupe_and_materialize(
-            canon.select(*FINAL_COLS),
-            tri_path,
-            num_buckets=num_buckets,
-            num_partitions=num_partitions,
-        )
-        m.add("merge", "triples_written", 1)
+        # the two sink writes are independent (S11's write barrier is
+        # between stages, not between sibling sinks) — run them as
+        # concurrent actions so the small failed write hides under the
+        # big triple write instead of adding its full latency serially;
+        # scheduler slots left idle by the big write's tail absorb it
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_tri = pool.submit(
+                dedupe_and_materialize,
+                canon.select(*FINAL_COLS),
+                tri_path,
+                num_buckets=num_buckets,
+                num_partitions=num_partitions,
+            )
+            fut_failed = pool.submit(
+                lambda: failed.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "failed")
+                )
+            )
+            fut_tri.result()
+            m.add("merge", "triples_written", 1)
+            fut_failed.result()
+            m.add("merge", "failed_written", 1)
         final = spark.read.parquet(tri_path)
-        failed.write.mode("overwrite").parquet(os.path.join(out_dir, "failed"))
-        m.add("merge", "failed_written", 1)
     else:
         final = dedupe_triples(
             canon.select(*FINAL_COLS), num_partitions=num_partitions
