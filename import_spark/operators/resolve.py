@@ -315,7 +315,11 @@ def resolve_defs_fast(
             return spark.createDataFrame([], schema)
         pdf = pdf.copy()
         pdf.columns = cols
-        return spark.createDataFrame(pdf, schema)
+        # localCheckpoint: several downstream actions broadcast these
+        # maps; without it each action re-runs the driver-side
+        # pandas->arrow conversion (driver-serial time that caps N->4N
+        # scaling). Checkpointed blocks serve every re-broadcast.
+        return spark.createDataFrame(pdf, schema).localCheckpoint()
 
     return ResolvedMaps(
         rmap=F.broadcast(_df(res_pdf, ["conv_id", "obj", "dcid"], "conv_id string, obj string, dcid string")),

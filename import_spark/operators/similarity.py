@@ -183,11 +183,40 @@ def ivf_train_centroids(
 
     The sample is size-capped (the standard IVF recipe — train on
     ~100k vectors regardless of corpus size), so driver memory and
-    training time are O(sample), not O(corpus). Deterministic seed."""
-    frac_sample = corpus.select(vec_col).limit(sample_rows).toPandas()
+    training time are O(sample), not O(corpus). Deterministic seed.
+
+    The sample is a RANDOM sample, not ``limit()``: limit takes the
+    first partitions in scan order, so on sorted/clustered input the
+    quantizer would train on one region of the space and recall
+    silently degrades. A seeded Bernoulli sample sized from a cheap
+    count keeps determinism and coverage."""
+    n = corpus.select(vec_col).count()
+    sampled = corpus.select(vec_col)
+    if n > sample_rows:
+        # no limit() after the sample either — limit takes rows in scan
+        # order, which would re-bias a clustered corpus toward its
+        # leading clusters; the Bernoulli sample's size variance is
+        # capped driver-side instead
+        sampled = sampled.sample(fraction=min(1.0, 1.1 * sample_rows / n), seed=seed)
+    frac_sample = sampled.toPandas()
     x = np.stack(frac_sample[vec_col].values).astype(np.float32)
     rng = np.random.RandomState(seed)
-    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    if len(x) > sample_rows:
+        x = x[rng.choice(len(x), size=sample_rows, replace=False)]
+    # k-means++-style farthest-first init: random inits can seed two
+    # centroids in one cluster and strand another (k-means never
+    # recovers without reseeding); picking each next center as the
+    # point farthest (min cosine sim) from the chosen set covers every
+    # well-separated cluster deterministically.
+    k = min(n_centroids, len(x))
+    xn0 = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+    idx = [int(rng.randint(len(x)))]
+    best_sim = xn0 @ xn0[idx[0]]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_sim))
+        idx.append(nxt)
+        best_sim = np.maximum(best_sim, xn0 @ xn0[nxt])
+    cents = x[idx].copy()
     for _ in range(iters):
         # cosine assignment: normalize then argmax dot
         xn = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)

@@ -62,6 +62,7 @@ def run_genmcf(
     assign_statvar_dcids: bool = True,
     dcid_dict: dict | None = None,
     seed_local_graph: bool = True,
+    force_distributed_resolve: bool = False,
 ) -> GenMcfResult:
     """End-to-end genmcf. ``csv_df``: the table scan; ``instance_nodes``:
     optional pre-parsed long-form MCF rows (read_mcf output) unioned in
@@ -119,6 +120,7 @@ def run_genmcf(
         mutated,
         assign_statvar_dcids=assign_statvar_dcids,
         dcid_dict=full_dict or None,
+        force_distributed=force_distributed_resolve,
     )
 
     post_errors = (

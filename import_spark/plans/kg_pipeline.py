@@ -179,17 +179,32 @@ def run_pipeline(
     maps = resolve_defs_fast(linked, approx_defs=n_defs)
     if maps is not None:
         m.add("resolve", "rounds", 0)
-        # ONE narrow side-scan feeds both small side-outputs (the
-        # failed quarantine and the sameAs edge set): filter to the
-        # union of the rows either needs, join the broadcast map once,
-        # materialize the (small) result, then derive both from it.
-        side = (
-            triples.filter(is_local | (F.col("pred") == "sameAs"))
-            .join(maps.rmap.withColumnRenamed("dcid", "_dc"), ["conv_id", "obj"], "left")
-            .localCheckpoint()
+        # The sameAs edge set must exist BEFORE the big pass (CC feeds
+        # canonicalize), so it gets its own narrow scan; the failed
+        # quarantine is only consumed by sinks/counters and is LAZY
+        # here — it materializes in the concurrent tail below, hidden
+        # under the big triple write instead of adding a serial
+        # full-table scan up front.
+        edges = (
+            triples.filter(F.col("pred") == "sameAs")
+            .withColumn("_lk", F.when(is_local, F.col("obj")))
+            .join(
+                maps.rmap.select(
+                    "conv_id", F.col("obj").alias("_lk"), F.col("dcid").alias("_dc")
+                ),
+                ["conv_id", "_lk"],
+                "left",
+            )
+            .filter(~(is_local & F.col("_dc").isNull()))
+            .select(
+                F.col("subj").alias("src"),
+                F.coalesce(F.col("_dc"), F.col("obj")).alias("dst"),
+            )
         )
         failed = (
-            side.filter(is_local & F.col("_dc").isNull())
+            triples.filter(is_local)
+            .join(maps.rmap.withColumnRenamed("dcid", "_dc"), ["conv_id", "obj"], "left")
+            .filter(F.col("_dc").isNull())
             .drop("_dc")
             .join(maps.divergent.withColumn("err", F.lit("Resolution_DivergingDcids")), ["conv_id", "obj"], "left")
             .join(maps.unresolved.withColumn("err2", F.lit("Resolution_IrreplaceableLocalRef")), ["conv_id", "obj"], "left")
@@ -198,13 +213,6 @@ def run_pipeline(
                 F.coalesce(F.col("err"), F.col("err2"), F.lit("Resolution_OrphanLocalReference")),
             )
             .drop("err", "err2")
-        )
-        edges = (
-            side.filter((F.col("pred") == "sameAs") & (~is_local | F.col("_dc").isNotNull()))
-            .select(
-                F.col("subj").alias("src"),
-                F.when(is_local, F.col("_dc")).otherwise(F.col("obj")).alias("dst"),
-            )
         )
         # the fused final pass: resolve locals inline (dropping failed
         # rows — they are quarantined above), then canonicalize
@@ -235,8 +243,6 @@ def run_pipeline(
         edges = resolved.filter(F.col("pred") == "sameAs").select(
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
-    for r in failed.groupBy("error").count().collect():
-        m.add("resolve", r["error"], r["count"])
 
     # 5. canonicalize (sameAs connected components)
     fast_cc = connected_components_fast(edges)
@@ -248,18 +254,26 @@ def run_pipeline(
         resolved, components, broadcast_map=n_components <= BROADCAST_CC_MAX_ROWS
     )
 
-    # 6. merge + materialize (the single big shuffle IS the write layout)
+    # 6. merge + materialize. The failed-quarantine materialization,
+    # its sink write and its error counters are independent of the big
+    # triple write (S11's write barrier is between stages, not between
+    # sibling sinks) — they run as concurrent actions and hide under
+    # the big write's task tail instead of adding serial full-table
+    # scans; Spark schedulers interleave concurrent jobs fairly.
     if check_generic_types:
         canon = drop_generic_types(canon)
+    from concurrent.futures import ThreadPoolExecutor
+
+    already_mat = maps is None  # distributed path checkpointed `failed`
+
+    def _failed_tail():
+        fm = failed if already_mat else failed.localCheckpoint()
+        if out_dir:
+            fm.write.mode("overwrite").parquet(os.path.join(out_dir, "failed"))
+        return fm, fm.groupBy("error").count().collect()
+
     if out_dir:
         tri_path = os.path.join(out_dir, "triples")
-        # the two sink writes are independent (S11's write barrier is
-        # between stages, not between sibling sinks) — run them as
-        # concurrent actions so the small failed write hides under the
-        # big triple write instead of adding its full latency serially;
-        # scheduler slots left idle by the big write's tail absorb it
-        from concurrent.futures import ThreadPoolExecutor
-
         with ThreadPoolExecutor(max_workers=2) as pool:
             fut_tri = pool.submit(
                 dedupe_and_materialize,
@@ -268,20 +282,23 @@ def run_pipeline(
                 num_buckets=num_buckets,
                 num_partitions=num_partitions,
             )
-            fut_failed = pool.submit(
-                lambda: failed.write.mode("overwrite").parquet(
-                    os.path.join(out_dir, "failed")
-                )
-            )
+            fut_failed = pool.submit(_failed_tail)
             fut_tri.result()
             m.add("merge", "triples_written", 1)
-            fut_failed.result()
+            failed, failed_counts = fut_failed.result()
             m.add("merge", "failed_written", 1)
         final = spark.read.parquet(tri_path)
     else:
         final = dedupe_triples(
             canon.select(*FINAL_COLS), num_partitions=num_partitions
         ).cache()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_cnt = pool.submit(final.count)
+            fut_failed = pool.submit(_failed_tail)
+            fut_cnt.result()
+            failed, failed_counts = fut_failed.result()
+    for r in failed_counts:
+        m.add("resolve", r["error"], r["count"])
     # parquet metadata count (no recompute) when materialized
     m.add("merge", "triples_final", final.count())
 

@@ -1231,8 +1231,101 @@ def q_sim_ivf_ann(spark, sf):
     return ivf_ann_topk(emb, queries_df, dim=dim, k=10, n_centroids=16, n_probe=4)
 
 
-QUERIES.update({"dedup_embedding": q_dedup_embedding, "sim_ivf_ann": q_sim_ivf_ann})
-ORACLE_SQL.update({"dedup_embedding": SQL_DEDUP_EMB})
+def q_dedup_embedding_lsh(spark, sf):
+    """Embedding near-dup via the SCALE path (embedding_near_dup:
+    banded hyperplane-LSH buckets + capped buckets + exact-cosine
+    verify + connected components) — the path a 100x corpus takes,
+    oracle-checked against the exact pair set + recursive CC.
+
+    Input plants deterministic duplicates: every vector also appears
+    scaled x2 under vec_id+100000. Scaling preserves every hyperplane
+    sign, so LSH recall on the planted pairs is exactly 1 (identical
+    signatures) and the query is deterministic at any sf; no organic
+    pair reaches the 0.95 threshold (corpus max cosine < 0.8).
+    Canon labels are re-normalized to the numeric min id because the
+    generic CC operates on string node ids (min('100005','5') is
+    lexicographic)."""
+    from import_spark.operators.dedup import embedding_near_dup
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    doubled = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).cast("array<float>").alias("embedding"),
+    )
+    out = embedding_near_dup(
+        emb.unionByName(doubled), threshold=0.95, n_planes=12, n_bands=6
+    )
+    members = (
+        out.select(F.col("vec_id").cast("long").alias("m"), F.col("canon").alias("c"))
+        .unionByName(
+            out.select(F.col("canon").cast("long").alias("m"), F.col("canon").alias("c"))
+        )
+        .distinct()
+    )
+    canon = members.groupBy("c").agg(F.min("m").alias("canon_id"))
+    return (
+        members.join(canon, "c")
+        .filter(F.col("m") != F.col("canon_id"))
+        .select(F.col("m").alias("vec_id"), F.col("canon_id").alias("canon"))
+        .orderBy("vec_id")
+    )
+
+
+SQL_DEDUP_EMB_LSH = """
+WITH RECURSIVE
+base AS (SELECT vec_id, embedding FROM embeddings),
+e AS (SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding, x -> x * 2) FROM base),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.95),
+edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a WHERE e2.b <> r.a
+)
+SELECT a AS vec_id, min(b) AS canon FROM reach GROUP BY a HAVING min(b) < a
+ORDER BY vec_id
+"""
+
+
+def q_genmcf_distributed(spark, sf):
+    """Same end-to-end genmcf as genmcf_pipeline but forcing the
+    DISTRIBUTED alternating resolver (_resolve_graph_distributed) — the
+    path a 100x input takes past the driver gate — against the same
+    DuckDB oracle, so the distributed loop is CORRECTNESS-gated, not
+    just parity-tested."""
+    from import_spark.plans.genmcf import run_genmcf
+
+    csv = _t(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        F.round("value", 4).cast("string").alias("val"),
+        F.concat(F.lit("user/"), F.col("user_id")).alias("place"),
+        F.col("event_id").alias("rid"),
+    )
+    res = run_genmcf(
+        spark, _GENMCF_TMCF, csv, row_id_col="rid", force_distributed_resolve=True
+    )
+    return res.nodes.groupBy("prop").agg(F.count("*").alias("n")).orderBy("prop")
+
+
+QUERIES.update(
+    {
+        "dedup_embedding": q_dedup_embedding,
+        "sim_ivf_ann": q_sim_ivf_ann,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "genmcf_distributed": q_genmcf_distributed,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "dedup_embedding": SQL_DEDUP_EMB,
+        "dedup_embedding_lsh": SQL_DEDUP_EMB_LSH,
+        "genmcf_distributed": SQL_GENMCF,
+    }
+)
 
 
 def q_p11_wide_observations(spark, sf):

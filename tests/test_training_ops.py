@@ -162,6 +162,33 @@ def test_ivf_ann_recall(spark):
     assert recall >= 0.6, recall
 
 
+def test_ivf_quantizer_unbiased_on_clustered_input(spark):
+    """The quantizer must train on a RANDOM sample: with `limit()` a
+    clustered/sorted corpus trains centroids on the first cluster only
+    and recall on the rest collapses. Build 4 well-separated clusters
+    ordered cluster-by-cluster, cap the train sample below one
+    cluster's size, and require the centroids to cover all clusters."""
+    import numpy as np
+    from import_spark.operators.similarity import ivf_train_centroids
+
+    rng = np.random.RandomState(3)
+    offsets = np.eye(4, 16, dtype="float32") * 50.0
+    rows = []
+    for c in range(4):  # ordered by cluster — limit() would see only c=0
+        for i in range(100):
+            v = offsets[c] + rng.standard_normal(16).astype("float32")
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>"
+    ).coalesce(1).sortWithinPartitions("vec_id")
+    cents = ivf_train_centroids(emb, dim=16, n_centroids=4, sample_rows=80, seed=7)
+    # each true cluster center must have a nearby centroid (cosine > .9)
+    cn = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+    on = offsets / (np.linalg.norm(offsets, axis=1, keepdims=True) + 1e-12)
+    best = (on @ cn.T).max(axis=1)
+    assert (best > 0.9).all(), best
+
+
 def test_language_id_eight_languages(spark):
     """Marker-profile language ID distinguishes all 8 supported
     languages; tie/empty → 'und'; the DuckDB oracle twin is generated
