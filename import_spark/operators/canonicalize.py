@@ -113,13 +113,17 @@ def canonicalize_triples(
     ``sameAs`` self-loops created by the rewrite are dropped.
 
     ``broadcast_map=None`` (default) size-gates the broadcast: maps up
-    to BROADCAST_CC_MAX_ROWS rows broadcast (two map-side joins, no
-    shuffle of the triple table); bigger maps fall back to shuffle
-    joins so the driver/executors never blow the broadcast limit.
+    to BROADCAST_CC_MAX_ROWS rows AND within the broadcast byte budget
+    (sampled width x count) broadcast (two map-side joins, no shuffle
+    of the triple table); bigger maps fall back to shuffle joins so the
+    driver/executors never blow the broadcast limit.
     """
     if broadcast_map is None:
-        broadcast_map = (
-            components.limit(BROADCAST_CC_MAX_ROWS + 1).count() <= BROADCAST_CC_MAX_ROWS
+        from import_spark.functions.size_gate import BROADCAST_BUDGET_BYTES, fits_bytes
+
+        n = components.limit(BROADCAST_CC_MAX_ROWS + 1).count()
+        broadcast_map = n <= BROADCAST_CC_MAX_ROWS and fits_bytes(
+            components, n, BROADCAST_BUDGET_BYTES
         )
     cmap = F.broadcast(components) if broadcast_map else components
     out = (
@@ -162,6 +166,10 @@ def connected_components_fast(
 
     n = approx_edges if approx_edges is not None else edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
     if n > DRIVER_CC_MAX_EDGES:
+        return None
+    from import_spark.functions.size_gate import DRIVER_COLLECT_BUDGET_BYTES, fits_bytes
+
+    if not fits_bytes(edges, n, DRIVER_COLLECT_BUDGET_BYTES):
         return None
     # Arrow collect (toPandas) — Row-object collect is ~5x slower and
     # this is driver-serial time on the pipeline's critical path

@@ -97,12 +97,24 @@ def resolve_locals(
     self_cyc = pending_all.filter(F.col("local") == F.col("target_local"))
     pending = pending_all.filter(F.col("local") != F.col("target_local"))
 
+    from import_spark.functions.size_gate import (
+        BROADCAST_BUDGET_BYTES,
+        estimate_row_bytes,
+    )
+
     rounds = 0
     map_rows = resolved_map.count()
+    # width sampled once; per-round broadcast decisions then cost no
+    # extra job: bytes = width x current map_rows (row cap AND byte cap)
+    map_width = estimate_row_bytes(resolved_map) if map_rows else 0.0
+
+    def _bcast_ok(rows: int) -> bool:
+        return rows <= BROADCAST_MAP_MAX_ROWS and rows * map_width <= BROADCAST_BUDGET_BYTES
+
     while rounds < MAX_ROUNDS:
         rounds += 1
         lookup = resolved_map.select("conv_id", F.col("local").alias("target_local"), "dcid")
-        if map_rows <= BROADCAST_MAP_MAX_ROWS:
+        if _bcast_ok(map_rows):
             lookup = F.broadcast(lookup)
         step = pending.join(lookup, ["conv_id", "target_local"], "left")
         # one materialization per round; newly/pending are cheap filters of it
@@ -130,7 +142,7 @@ def resolve_locals(
     others = triples.filter(~is_local)
 
     rmap = resolved_map.select("conv_id", F.col("local").alias("obj"), "dcid")
-    if map_rows <= BROADCAST_MAP_MAX_ROWS:
+    if _bcast_ok(map_rows):
         rmap = F.broadcast(rmap)
     # localCheckpoint (not cache): materialized once, auto-released by the
     # context cleaner when unreferenced — no cross-run cache leak
@@ -303,11 +315,19 @@ def resolve_defs_fast(
     spark = linked.sparkSession
     if approx_defs is None or approx_defs > DRIVER_RESOLVE_MAX_DEFS:
         return None
-    defs_pdf = (
-        linked.filter(F.col("kind") == "DEF")
-        .select("conv_id", "subj", "obj_type", "obj")
-        .toPandas()
+    defs_df = linked.filter(F.col("kind") == "DEF").select(
+        "conv_id", "subj", "obj_type", "obj"
     )
+    from import_spark.functions.size_gate import (
+        DRIVER_COLLECT_BUDGET_BYTES,
+        fits_bytes,
+    )
+
+    # byte gate on sampled width x count: a row cap alone would Arrow-
+    # collect GBs when locals carry wide values
+    if not fits_bytes(defs_df, approx_defs, DRIVER_COLLECT_BUDGET_BYTES):
+        return None
+    defs_pdf = defs_df.toPandas()
     res_pdf, div_pdf, unres_pdf = _resolve_defs_vectorized(defs_pdf)
 
     def _df(pdf: "pd.DataFrame", cols: list[str], schema: str) -> DataFrame:

@@ -249,9 +249,15 @@ def run_pipeline(
     components = (fast_cc if fast_cc is not None else connected_components(edges)).localCheckpoint()
     n_components = components.count()
     m.add("canonicalize", "nodes_rewritten", n_components)
-    # reuse the counter for the broadcast size gate — no extra job
+    # reuse the counter for the broadcast row gate; the byte gate
+    # samples the (checkpointed, small) component map — one tiny job
+    from import_spark.functions.size_gate import BROADCAST_BUDGET_BYTES, fits_bytes
+
     canon = canonicalize_triples(
-        resolved, components, broadcast_map=n_components <= BROADCAST_CC_MAX_ROWS
+        resolved,
+        components,
+        broadcast_map=n_components <= BROADCAST_CC_MAX_ROWS
+        and fits_bytes(components, n_components, BROADCAST_BUDGET_BYTES),
     )
 
     # 6. merge + materialize. The failed-quarantine materialization,
