@@ -1144,12 +1144,23 @@ QUERIES.update(
     }
 )
 
+# s2_cells: no independent DuckDB twin exists for the Hilbert-curve
+# cell math (no s2 library in-container; the implementation is
+# bit-validated against the reference's documented example,
+# resolvers.py:33 s2CellId/0x80982b0000000000). The oracle below is a
+# committed REGRESSION golden — pinned output at sf0.01, honest about
+# provenance — so silent drift in the cell math turns the row red even
+# though it cannot prove the math ab initio.
+SQL_S2_GOLDEN = (
+    "SELECT cell, n FROM '/root/repo/tests/golden/s2_cells_sf0.01.parquet' ORDER BY cell"
+)
+
 ORACLE_SQL.update(
     {
         "mcf_checker": SQL_MCF_CHECKER,
         "genmcf_pipeline": SQL_GENMCF,
         "svg_hierarchy": SQL_SVG,
-        # s2_cells: no DuckDB twin (Hilbert-curve cell math) — rows-only
+        "s2_cells": SQL_S2_GOLDEN,
     }
 )
 
@@ -1229,6 +1240,28 @@ def q_sim_ivf_ann(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_ann_topk(emb, queries_df, dim=dim, k=10, n_centroids=16, n_probe=4)
+
+
+def q_sim_ivf_exact(spark, sf):
+    """IVF machinery CORRECTNESS-gated: with n_probe = n_centroids the
+    inverted-file search probes every list and degenerates to exact
+    top-k, so the full IVF path (quantizer training, list assignment,
+    per-list candidate join, rerank, windowed top-k) runs against the
+    same DuckDB exact-top-k oracle as sim_cosine_topk. Recall at
+    n_probe < n_centroids remains a pytest property (sim_ivf_ann stays
+    the rows-only approximate query)."""
+    from import_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(
+        emb, queries_df, dim=dim, k=10, n_centroids=16, n_probe=16
+    )
 
 
 def q_dedup_embedding_lsh(spark, sf):
@@ -1317,6 +1350,7 @@ QUERIES.update(
         "sim_ivf_ann": q_sim_ivf_ann,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "genmcf_distributed": q_genmcf_distributed,
+        "sim_ivf_exact": q_sim_ivf_exact,
     }
 )
 ORACLE_SQL.update(
@@ -1324,6 +1358,7 @@ ORACLE_SQL.update(
         "dedup_embedding": SQL_DEDUP_EMB,
         "dedup_embedding_lsh": SQL_DEDUP_EMB_LSH,
         "genmcf_distributed": SQL_GENMCF,
+        "sim_ivf_exact": SQL_SIM_TOPK,
     }
 )
 
