@@ -189,6 +189,31 @@ def test_ivf_quantizer_unbiased_on_clustered_input(spark):
     assert (best > 0.9).all(), best
 
 
+def test_language_id_independent_fixture(spark):
+    """Independence check for the language-ID heuristic: the driver's
+    DuckDB oracle is GENERATED from LANG_MARKERS (shared source of
+    truth — a wrong marker set would pass both sides), so this fixture
+    of hand-labeled natural sentences (tests/fixtures/lang_id_fixture
+    .json, not derived from the marker table) restores an external
+    ground truth."""
+    import json
+    import os
+
+    from import_spark.operators.textops import language_id
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "lang_id_fixture.json")
+    with open(path) as f:
+        samples = json.load(f)["samples"]
+    df = spark.createDataFrame(
+        [(i, s["text"], s["lang"]) for i, s in enumerate(samples)],
+        "doc_id int, text string, want string",
+    )
+    pred = language_id(df).join(df.select("doc_id", "want"), "doc_id")
+    rows = pred.collect()
+    wrong = [(r.doc_id, r.want, r.lang_pred) for r in rows if r.lang_pred != r.want]
+    assert not wrong, wrong
+
+
 def test_language_id_eight_languages(spark):
     """Marker-profile language ID distinguishes all 8 supported
     languages; tie/empty → 'und'; the DuckDB oracle twin is generated
