@@ -16,10 +16,11 @@ value, src_file):
 3. **StatVar synthesis** (McfMutator.java:110-158):
    ``constraintProperties`` (all props outside the non-constraint set),
    a ``definition`` ("md=..,mq=..,st=..,mp=..,pt=..,<k=v...>",
-   McfUtil.java:229-270) and a generated ``name``
-   (StatVarNameGenerator.java format subset — statType prefix,
-   "<MeasuredProp> Of <PopulationType>", ": constraint values") are
-   added when missing.
+   McfUtil.java:229-270) and a generated ``name`` (the FULL
+   StatVarNameGenerator.java rule set — period-qualifier promotion,
+   containment-suppressed measure x pop, boolean constraints,
+   denominators; functions/statvar_name.py, locked to
+   StatVarNameGeneratorTest vectors) are added when missing.
 
 Spark-first: mutations 1 and 3 are pure DataFrame transforms (one
 groupBy per node for the synthesis pass); mutation 2 parses only the
@@ -241,10 +242,46 @@ def mutate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.lit("").alias("src_file"),
     )
 
+    # name generation for SVs missing one: the FULL StatVarNameGenerator
+    # rule set (period-qualifier promotion, containment-suppressed
+    # measure x pop, boolean constraints, denominators) lives in
+    # functions/statvar_name.py — a per-node pandas pass over the packed
+    # (prop, value) lists; SV schema nodes are metadata-sized next to
+    # the observation stream, so the Python hop is off the hot path.
+    from import_spark.functions.statvar_name import generate_statvar_name
+
+    sv_packed = (
+        sv_rows.groupBy("node_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("prop", "value"))).alias("pvl"),
+            F.max(F.when(F.col("prop") == "name", True)).alias("_has_name"),
+        )
+        .filter(F.col("_has_name").isNull())
+        .select("node_id", "pvl")
+    )
+
+    def _gen_names(batches):
+        for pdf in batches:
+            out_rows = []
+            for nid, pvl in zip(pdf["node_id"], pdf["pvl"]):
+                pvs: dict[str, list[str]] = {}
+                for d in pvl:
+                    pvs.setdefault(d["prop"], []).append(d["value"])
+                nm = generate_statvar_name(pvs)
+                if nm:
+                    out_rows.append((nid, "name", "TEXT", nm, ""))
+            yield pd.DataFrame(out_rows, columns=_NODE_COLS)
+
+    name_rows = sv_packed.mapInPandas(
+        _gen_names,
+        schema="node_id string, prop string, value_type string, value string, src_file string",
+    )
+
     out = (
         n.select(*_NODE_COLS)
         .unionByName(child)
         .unionByName(sv_new)
+        .unionByName(name_rows)
     )
     return out, errors
 
@@ -273,7 +310,6 @@ def _build_sv_synth_exprs():
             F.collect_set(F.when(~F.col("prop").isin(*non_constraint), F.col("prop")))
         ).alias("cprops"),
         F.max(F.when(F.col("prop") == "definition", True)).alias("has_def"),
-        F.max(F.when(F.col("prop") == "name", True)).alias("has_name"),
         F.map_from_entries(
             F.collect_list(
                 F.when(F.col("prop").isin(*core_props), F.struct(F.col("prop"), F.col("value")))
@@ -310,34 +346,9 @@ def _build_sv_synth_exprs():
         ),
         lambda x: x.isNotNull(),
     )
-    # name: "[StatType ]<MeasuredProp> Of <PopulationType>[: v1, v2]"
-    # (StatVarNameGenerator format subset: statType prefix for
-    # non-measuredValue, measure-and-pop, constraint values)
-    name_prefix = F.when(
-        core("statType").isNotNull() & (core("statType") != "measuredValue"),
-        F.concat(format_token(F.regexp_replace(core("statType"), "Value$", "")), F.lit(" ")),
-    ).otherwise(F.lit(""))
-    name_mid = F.concat_ws(
-        " Of ",
-        F.filter(
-            F.array(format_token(core("measuredProperty")), format_token(core("populationType"))),
-            lambda x: x.isNotNull() & (x != ""),
-        ),
-    )
-    name_constraints = F.when(
-        F.size("cprops") > 0,
-        F.concat(
-            F.lit(": "),
-            F.concat_ws(
-                ", ",
-                F.transform(
-                    F.col("cprops"),
-                    lambda p: format_token(F.element_at(F.col("cmap"), p)),
-                ),
-            ),
-        ),
-    ).otherwise(F.lit(""))
-
+    # name generation moved to functions/statvar_name.py (the FULL
+    # StatVarNameGenerator rule set) — applied in mutate_nodes over the
+    # packed per-node pvs, not as a column expression
     synth_rows = (
         F.filter(
             F.concat(
@@ -356,14 +367,6 @@ def _build_sv_synth_exprs():
                             F.lit("definition").alias("prop"),
                             F.lit("TEXT").alias("value_type"),
                             F.concat_ws(",", def_parts).alias("value"),
-                        ),
-                    ),
-                    F.when(
-                        F.col("has_name").isNull() & (name_mid != ""),
-                        F.struct(
-                            F.lit("name").alias("prop"),
-                            F.lit("TEXT").alias("value_type"),
-                            F.concat(name_prefix, name_mid, name_constraints).alias("value"),
                         ),
                     ),
                 ),

@@ -29,6 +29,10 @@ MAX_SVG_ID_LENGTH = 255
 SVG_ID_HASH_LENGTH = 8
 CUSTOM_SVG_PREFIX = "c/g/"
 DEFAULT_CUSTOM_ROOT_SVG_ID = CUSTOM_SVG_PREFIX + "Root"
+# schema_constants.py:53 TYPE_STATISTICAL_VARIABLE_GROUP — the emitted
+# typeOf object is the short form, per the reference's own fixtures
+STAT_VAR_GROUP_TYPE = "StatVarGroup"
+DEFAULT_POPULATION_TYPE = "Thing"
 
 SV_HIERARCHY_PROPS_BLOCKLIST = {
     "dcid", "typeOf", "isPublic", "provenance", "resMCFFile", "keyString",
@@ -56,6 +60,33 @@ def _token(c):
 def _gen_name(c):
     """_capitalize_and_split: EnergySource → Energy Source."""
     return F.trim(F.regexp_replace(_capitalize(c), "([A-Z])", " $1"))
+
+
+def _gen_name_py(dcid: str, dcid2name: dict[str, str] | None = None) -> str:
+    """Driver-side twin of ``_gen_name`` with the dcid→name override
+    (stat_var_hierarchy_generator.py _gen_name: the override is ALSO
+    capitalize-and-split)."""
+    import re
+
+    s = (dcid2name or {}).get(dcid) or dcid
+    s = s[:1].upper() + s[1:]
+    return re.sub(r"([A-Z])", r" \1", s).strip()
+
+
+def load_vertical_specs(data: str) -> list[dict]:
+    """Parse the reference's vertical-spec JSON
+    (``{"specs": [{"populationType", "measuredProperties",
+    "verticals"}]}``, data.py VerticalSpec.from_json)."""
+    import json
+
+    return [
+        {
+            "populationType": s.get("populationType", DEFAULT_POPULATION_TYPE),
+            "measuredProperties": set(s.get("measuredProperties", [])),
+            "verticals": set(s.get("verticals", [])),
+        }
+        for s in json.loads(data).get("specs", [])
+    ]
 
 
 def _svg_id(pop_type, pvs):
@@ -107,7 +138,8 @@ def extract_svs(sv_nodes: DataFrame, blocklist: set[str] | None = None) -> DataF
             F.min(F.when(F.col("prop") == "dcid", F.col("value"))), F.col("node_id")
         ).alias("sv_id"),
         F.coalesce(
-            F.min(F.when(F.col("prop") == "populationType", F.col("value"))), F.lit("Thing")
+            F.min(F.when(F.col("prop") == "populationType", F.col("value"))),
+            F.lit(DEFAULT_POPULATION_TYPE),
         ).alias("pop_type"),
         F.sort_array(
             F.collect_set(
@@ -117,7 +149,7 @@ def extract_svs(sv_nodes: DataFrame, blocklist: set[str] | None = None) -> DataF
                 )
             )
         ).alias("pvs"),
-    ).select("sv_id", "pop_type", "pvs")
+    ).select("node_id", "sv_id", "pop_type", "pvs")
 
 
 def generate_svg_hierarchy(
@@ -125,14 +157,26 @@ def generate_svg_hierarchy(
     blocklist: set[str] | None = None,
     root_svg_id: str = DEFAULT_CUSTOM_ROOT_SVG_ID,
     max_rounds: int = 24,
+    vertical_specs: list[dict] | None = None,
+    dcid2name: dict[str, str] | None = None,
 ) -> DataFrame:
     """SV nodes → hierarchy triples
     (subject_id, predicate, object_id, object_value).
 
-    Emitted per SVG: ``typeOf StatisticalVariableGroup``, ``name``,
+    Emitted per SVG: ``typeOf StatVarGroup``, ``name``,
     ``specializationOf <parent>`` (pop-type SVGs → the root); per SV:
     ``memberOf <leaf svg>`` — the reference's SVG.triples()
-    (stat_var_hierarchy_generator.py:209-231)."""
+    (stat_var_hierarchy_generator.py:209-231).
+
+    ``vertical_specs`` (load_vertical_specs output) reproduces
+    _attach_verticals (stat_var_hierarchy_generator.py:279-310): a
+    parentless pop-type SVG whose pop type matches a spec AND shares a
+    measured property with it attaches under each of the spec's
+    vertical SVGs (``c/g/<vertical>`` → root) instead of directly
+    under the root; unmatched pop-type SVGs keep the root parent. The
+    vertical attachment is config-driven metadata (pop types x specs),
+    so it runs driver-side on collected tops — the lattice walk and
+    the big SV collapse stay distributed."""
     svs = extract_svs(sv_nodes, blocklist)
 
     # the one big-data step: collapse SVs onto distinct leaf SVGs
@@ -213,7 +257,7 @@ def generate_svg_hierarchy(
     type_triples = info.select(
         "subject_id",
         F.lit("typeOf").alias("predicate"),
-        F.lit("StatisticalVariableGroup").alias("object_id"),
+        F.lit(STAT_VAR_GROUP_TYPE).alias("object_id"),
         F.lit(None).cast("string").alias("object_value"),
     )
     name_triples = info.select(
@@ -231,22 +275,71 @@ def generate_svg_hierarchy(
         F.col("parent").alias("object_id"),
         F.lit(None).cast("string").alias("object_value"),
     )
-    tops = (
-        all_svgs.join(
-            (edges.select(F.col("child").alias("svg_id")) if edges is not None else all_svgs.limit(0).select("svg_id")),
-            "svg_id",
-            "left_anti",
+    tops_df = all_svgs.join(
+        (edges.select(F.col("child").alias("svg_id")) if edges is not None else all_svgs.limit(0).select("svg_id")),
+        "svg_id",
+        "left_anti",
+    ).select("svg_id", "pop_type")
+
+    spark = sv_nodes.sparkSession
+    extra_rows: list[tuple] = []
+    attached_tops: set[str] = set()
+    if vertical_specs:
+        # pop type → union of descendant SVs' measured properties
+        # (_add_measured_properties_to_parent_svgs rolls every SV's
+        # mprop up to its parentless pop-type SVG, so the rollup equals
+        # a per-pop-type distinct)
+        sv_mp = sv_nodes.filter(F.col("prop") == "measuredProperty").select(
+            "node_id", F.col("value").alias("mprop")
         )
-        .select(
-            F.col("svg_id").alias("subject_id"),
-            F.lit("specializationOf").alias("predicate"),
-            F.lit(root_svg_id).alias("object_id"),
-            F.lit(None).cast("string").alias("object_value"),
-        )
+        pop2mp = {
+            r["pop_type"]: set(r["mprops"])
+            for r in svs.select("node_id", "pop_type")
+            .join(sv_mp, "node_id")
+            .groupBy("pop_type")
+            .agg(F.collect_set("mprop").alias("mprops"))
+            .collect()
+        }
+        top_by_pop = {r["pop_type"]: r["svg_id"] for r in tops_df.collect()}
+        vertical_ids: list[str] = []
+        for spec_d in vertical_specs:
+            top_id = top_by_pop.get(spec_d["populationType"])
+            if not top_id:
+                continue
+            if not (spec_d["measuredProperties"] & pop2mp.get(spec_d["populationType"], set())):
+                continue
+            for vertical in sorted(spec_d["verticals"]):
+                vid = CUSTOM_SVG_PREFIX + vertical
+                if vid not in vertical_ids:
+                    vertical_ids.append(vid)
+                    extra_rows += [
+                        (vid, "typeOf", STAT_VAR_GROUP_TYPE, None),
+                        (vid, "name", None, _gen_name_py(vertical, dcid2name)),
+                        (vid, "specializationOf", root_svg_id, None),
+                    ]
+                extra_rows.append((top_id, "specializationOf", vid, None))
+                attached_tops.add(top_id)
+
+    root_src = tops_df
+    if attached_tops:
+        root_src = tops_df.filter(~F.col("svg_id").isin(*sorted(attached_tops)))
+    tops = root_src.select(
+        F.col("svg_id").alias("subject_id"),
+        F.lit("specializationOf").alias("predicate"),
+        F.lit(root_svg_id).alias("object_id"),
+        F.lit(None).cast("string").alias("object_value"),
     )
-    return (
+    out = (
         type_triples.unionByName(name_triples)
         .unionByName(spec)
         .unionByName(tops)
         .unionByName(member_triples)
     )
+    if extra_rows:
+        out = out.unionByName(
+            spark.createDataFrame(
+                extra_rows,
+                "subject_id string, predicate string, object_id string, object_value string",
+            )
+        )
+    return out

@@ -1104,7 +1104,7 @@ WITH b AS (SELECT DISTINCT p_brand FROM part),
               UNION ALL SELECT 'c/g/Part_Brand', 'Part With Brand'
               UNION ALL SELECT 'c/g/Part', 'Part')
 SELECT svg_id AS subject_id, 'typeOf' AS predicate,
-       'StatisticalVariableGroup' AS object_id, NULL AS object_value FROM svgs
+       'StatVarGroup' AS object_id, NULL AS object_value FROM svgs
 UNION ALL SELECT svg_id, 'name', NULL, nm FROM svgs
 UNION ALL SELECT svg_id, 'specializationOf', 'c/g/Part_Brand', NULL FROM leaf
 UNION ALL SELECT 'c/g/Part_Brand', 'specializationOf', 'c/g/Part', NULL

@@ -46,9 +46,51 @@ def test_svg_lattice_structure(spark):
     assert ("c/g/Person_Gender-Female", "name", None, "Person With Gender = Female") in rows
     assert ("c/g/Person_Gender", "name", None, "Person With Gender") in rows
     # every SVG is typed
-    svg_ids = {s for s, p, o, v in rows if p == "typeOf" and o == "StatisticalVariableGroup"}
+    svg_ids = {s for s, p, o, v in rows if p == "typeOf" and o == "StatVarGroup"}
     named = {s for s, p, o, v in rows if p == "name"}
     assert svg_ids == named and len(svg_ids) == 9
+
+
+def test_svg_verticals_reference_golden(spark):
+    """Full-output golden vs the reference's own verticals fixture
+    (simple/tests/stats/test_data/stat_var_hierarchy_generator):
+    vertical SVGs under the root, matched pop-type SVGs under their
+    verticals, unmatched (Thing) under the root, multi-parent lattice
+    nodes, generated names, StatVarGroup typeOf."""
+    import os
+
+    import pandas as pd
+
+    from import_spark.operators.svg_hierarchy import (
+        generate_svg_hierarchy,
+        load_vertical_specs,
+    )
+
+    base = "/root/reference/simple/tests/stats/test_data/stat_var_hierarchy_generator"
+    if not os.path.isdir(base):
+        import pytest
+
+        pytest.skip("reference fixtures unavailable")
+    inp = pd.read_csv(os.path.join(base, "input", "verticals.csv"), keep_default_na=False)
+    with open(os.path.join(base, "input", "verticals.vertical_specs.json")) as f:
+        specs = load_vertical_specs(f.read())
+    nodes = spark.createDataFrame(
+        [
+            (r.subject_id, r.predicate, "RESOLVED_REF", r.object_id or r.object_value, "")
+            for r in inp.itertuples()
+        ],
+        "node_id string, prop string, value_type string, value string, src_file string",
+    )
+    got = {
+        (r.subject_id, r.predicate, r.object_id, r.object_value)
+        for r in generate_svg_hierarchy(nodes, vertical_specs=specs).collect()
+    }
+    exp_pdf = pd.read_csv(os.path.join(base, "expected", "verticals_triples.csv"), keep_default_na=False)
+    want = {
+        (r.subject_id, r.predicate, r.object_id or None, r.object_value or None)
+        for r in exp_pdf.itertuples()
+    }
+    assert got == want, (sorted(want - got)[:5], sorted(got - want)[:5])
 
 
 def test_s2_reference_golden():
