@@ -51,9 +51,15 @@ def sigma_outliers(
     )
 
 
-def fluctuations(obs: DataFrame, big: float = 1.0, huge: float = 5.0) -> DataFrame:
+def fluctuations(
+    obs: DataFrame,
+    big: float = 1.0,
+    huge: float = 5.0,
+    series_key: list[str] | None = None,
+) -> DataFrame:
     """Successive-point percent change buckets (>100%, >500%)."""
-    w = Window.partitionBy(*SERIES_KEY).orderBy("date")
+    key = series_key or SERIES_KEY
+    w = Window.partitionBy(*key).orderBy("date")
     d = obs.withColumn("_prev", F.lag("value").over(w)).filter(
         F.col("_prev").isNotNull() & (F.abs(F.col("_prev")) > 1e-9)
     )
@@ -70,29 +76,72 @@ def fluctuations(obs: DataFrame, big: float = 1.0, huge: float = 5.0) -> DataFra
     )
 
 
-def date_granularity_issues(obs: DataFrame) -> DataFrame:
+def max_fluctuation_per_series(
+    obs: DataFrame,
+    big: float = 1.0,
+    huge: float = 5.0,
+    series_key: list[str] | None = None,
+    small_number: float = 1e-6,
+) -> DataFrame:
+    """StatChecker.checkPercentFluctuations (StatChecker.java:467-512):
+    ONE counter per series, from the maximum |signed delta| between
+    successive date points, bucketed >500% then >100%; a zero base
+    divides by SMALL_NUMBER; a series containing any date with more
+    than one distinct value is EXCLUDED entirely (the reference's
+    sawtooth guard returns before comparing)."""
+    key = series_key or SERIES_KEY
+    sawtooth = (
+        obs.groupBy(*key, "date")
+        .agg(F.countDistinct("value").alias("_nv"))
+        .filter(F.col("_nv") > 1)
+        .select(*key)
+        .dropDuplicates()
+    )
+    pts = obs.dropDuplicates([*key, "date"]).join(sawtooth, key, "left_anti")
+    w = Window.partitionBy(*key).orderBy("date")
+    d = pts.withColumn("_prev", F.lag("value").over(w)).filter(F.col("_prev").isNotNull())
+    delta = F.when(
+        F.col("_prev") == 0, F.col("value") / F.lit(small_number)
+    ).otherwise((F.col("value") - F.col("_prev")) / F.abs(F.col("_prev")))
+    return (
+        d.withColumn("_delta", F.abs(delta))
+        .groupBy(*key)
+        .agg(F.max("_delta").alias("_max_delta"))
+        .withColumn(
+            "check",
+            F.when(F.col("_max_delta") > huge, F.lit("StatsCheck_MaxPercentFluctuationGreaterThan500"))
+            .when(F.col("_max_delta") > big, F.lit("StatsCheck_MaxPercentFluctuationGreaterThan100")),
+        )
+        .filter(F.col("check").isNotNull())
+        .select(*key, "check")
+    )
+
+
+def date_granularity_issues(
+    obs: DataFrame, series_key: list[str] | None = None
+) -> DataFrame:
     """Series with mixed date-string granularities (distinct lengths) or
     inconsistent month deltas between successive dates (holes)."""
+    key = series_key or SERIES_KEY
     mixed = (
-        obs.groupBy(*SERIES_KEY)
+        obs.groupBy(*key)
         .agg(F.countDistinct(F.length("date")).alias("n_granularities"))
         .filter(F.col("n_granularities") > 1)
-        .withColumn("check", F.lit("StatsCheck_InconsistentDateGranularity"))
+        .withColumn("check", F.lit("StatsCheck_Inconsistent_Date_Granularity"))
     )
-    w = Window.partitionBy(*SERIES_KEY).orderBy("date")
     deltas = (
-        obs.select(*SERIES_KEY, F.to_date(F.when(F.length("date") == 4, F.concat(F.col("date"), F.lit("-01-01"))).when(F.length("date") == 7, F.concat(F.col("date"), F.lit("-01"))).otherwise(F.col("date"))).alias("_d"), "date")
-        .withColumn("_prev", F.lag("_d").over(Window.partitionBy(*SERIES_KEY).orderBy("_d")))
+        obs.select(*key, F.to_date(F.when(F.length("date") == 4, F.concat(F.col("date"), F.lit("-01-01"))).when(F.length("date") == 7, F.concat(F.col("date"), F.lit("-01"))).otherwise(F.col("date"))).alias("_d"), "date")
+        .withColumn("_prev", F.lag("_d").over(Window.partitionBy(*key).orderBy("_d")))
         .filter(F.col("_prev").isNotNull())
         .withColumn("_months", F.round(F.months_between("_d", "_prev"), 0))
     )
     holes = (
-        deltas.groupBy(*SERIES_KEY)
+        deltas.groupBy(*key)
         .agg(F.countDistinct("_months").alias("n_deltas"))
         .filter(F.col("n_deltas") > 1)
-        .withColumn("check", F.lit("StatsCheck_DataHoles"))
+        .withColumn("check", F.lit("StatsCheck_Data_Holes"))
     )
-    return mixed.select(*SERIES_KEY, "check").unionByName(holes.select(*SERIES_KEY, "check"))
+    return mixed.select(*key, "check").unionByName(holes.select(*key, "check"))
 
 
 def value_inconsistencies(obs: DataFrame, series_key: list[str] | None = None) -> DataFrame:

@@ -798,7 +798,7 @@ def q_a8_date_granularity(spark, sf):
 
     out = date_granularity_issues(_obs_from_events(spark, sf))
     return (
-        out.filter(F.col("check") == "StatsCheck_InconsistentDateGranularity")
+        out.filter(F.col("check") == "StatsCheck_Inconsistent_Date_Granularity")
         .select("entity", "variable")
     )
 
@@ -1068,6 +1068,65 @@ ORDER BY prop
 """
 
 
+def q_lint_report(spark, sf):
+    """``dc-import lint`` as a distinct plan (plans/lint.py;
+    Processor.java:59-96 lint mode): sanity suite + local existence
+    pass + StatChecker over SVObs nodes synthesized from events →
+    counter rollup. The rollup filters to the Sanity_*/Existence_*
+    families (deterministic SQL twins); the StatsCheck_* family is
+    covered by the reference-fixture golden (tests/test_lint.py) and
+    the a6-a9 driver queries."""
+    from import_spark.plans.lint import run_lint
+
+    res = run_lint(spark, _event_nodes(spark, sf))
+    return (
+        res.errors.filter(
+            F.col("counter").startswith("Sanity_") | F.col("counter").startswith("Existence_")
+        )
+        .groupBy("level", "counter")
+        .agg(F.count("*").alias("n"))
+        .orderBy("level", "counter")
+    )
+
+
+SQL_LINT = """
+WITH nodes AS (
+  SELECT 'e' || event_id AS node_id,
+         'user/' || user_id AS entity,
+         CASE WHEN event_type <> 'click' THEN 'Count_Event' END AS variable,
+         CASE WHEN value < 0 THEN 'not-a-date'
+              ELSE strftime(ts, '%Y-%m-%d') END AS date,
+         round(value, 4) AS val,
+         event_type
+  FROM events
+),
+firsts AS (
+  SELECT *,
+         first_value(val) OVER (
+           PARTITION BY entity, variable, date ORDER BY node_id
+         ) AS first_val
+  FROM nodes
+),
+c AS (
+  SELECT 'LEVEL_ERROR' AS level, 'Sanity_InvalidObsDate' AS counter, count(*) AS n
+  FROM nodes WHERE date = 'not-a-date'
+  UNION ALL
+  SELECT 'LEVEL_ERROR', 'Sanity_MissingOrEmpty_variableMeasured', count(*)
+  FROM nodes WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'LEVEL_ERROR', 'Sanity_InconsistentSvObsValues', count(*)
+  FROM firsts WHERE CAST(val AS FLOAT) <> CAST(first_val AS FLOAT)
+  UNION ALL
+  SELECT 'LEVEL_WARNING', 'Existence_MissingReference_observationAbout', count(*)
+  FROM nodes
+  UNION ALL
+  SELECT 'LEVEL_WARNING', 'Existence_MissingReference_variableMeasured', count(*)
+  FROM nodes WHERE variable IS NOT NULL
+)
+SELECT * FROM c WHERE n > 0 ORDER BY level, counter
+"""
+
+
 def q_svg_hierarchy(spark, sf):
     """SVG hierarchy generation (stat_var_hierarchy_generator.py:35-156):
     single-constraint StatVars from part brands -> the memberOf /
@@ -1141,6 +1200,7 @@ QUERIES.update(
         "genmcf_pipeline": q_genmcf_predicates,
         "svg_hierarchy": q_svg_hierarchy,
         "s2_cells": q_s2_cells,
+        "lint_report": q_lint_report,
     }
 )
 
@@ -1161,6 +1221,7 @@ ORACLE_SQL.update(
         "genmcf_pipeline": SQL_GENMCF,
         "svg_hierarchy": SQL_SVG,
         "s2_cells": SQL_S2_GOLDEN,
+        "lint_report": SQL_LINT,
     }
 )
 

@@ -48,8 +48,8 @@ def test_date_granularity(obs):
     from import_spark.operators.stats import date_granularity_issues
 
     out = {(r.entity, r.check) for r in date_granularity_issues(obs).collect()}
-    assert ("geoId/36", "StatsCheck_InconsistentDateGranularity") in out
-    assert ("geoId/48", "StatsCheck_DataHoles") in out
+    assert ("geoId/36", "StatsCheck_Inconsistent_Date_Granularity") in out
+    assert ("geoId/48", "StatsCheck_Data_Holes") in out
 
 
 def test_value_inconsistency(obs):
@@ -64,7 +64,7 @@ def test_run_all_checks_counters(obs):
 
     counters = {r.check: r.n for r in run_all_checks(obs).collect()}
     assert counters.get("StatsCheck_Inconsistent_Values") == 1
-    assert "StatsCheck_InconsistentDateGranularity" in counters
+    assert "StatsCheck_Inconsistent_Date_Granularity" in counters
 
 
 def test_differ(spark):
