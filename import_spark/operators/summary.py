@@ -148,4 +148,100 @@ def write_summary_report(
     report = {"statVarSummary": rows, "placeSeriesSummary": series}
     with open(os.path.join(out_dir, SUMMARY_REPORT_JSON), "w") as f:
         json.dump(report, f, indent=1, default=str)
+    write_summary_html(report, out_dir)
     return report
+
+
+SUMMARY_REPORT_HTML = "summary_report.html"
+
+
+def _svg_sparkline(values: list[float], width: int = 360, height: int = 80) -> str:
+    """Inline SVG polyline for a value series — the self-contained
+    stand-in for the reference's per-series charts (SummaryReport.ftl
+    renders charts client-side; this keeps the artifact dependency-free)."""
+    vals = [v for v in values if v is not None]
+    if len(vals) < 2:
+        return ""
+    lo, hi = min(vals), max(vals)
+    span = (hi - lo) or 1.0
+    pts = " ".join(
+        f"{round(i * width / (len(vals) - 1), 1)},{round(height - (v - lo) / span * (height - 8) - 4, 1)}"
+        for i, v in enumerate(vals)
+    )
+    return (
+        f'<svg width="{width}" height="{height}" role="img">'
+        f'<polyline fill="none" stroke="#1a73e8" stroke-width="1.5" points="{pts}"/></svg>'
+    )
+
+
+def _esc(x) -> str:
+    return (
+        str(x)
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def write_summary_html(
+    report: dict, out_dir: str, level_summary: dict | None = None
+) -> str:
+    """``summary_report.html`` — the reference's
+    SummaryReportGenerator.java:33,195-211 artifact (SummaryReport.ftl
+    structure: TOC, counters by level, StatVar summary table, per-place
+    series sections with charts), rendered as self-contained static
+    HTML with inline-SVG series charts instead of CDN-loaded
+    client-side libraries."""
+    os.makedirs(out_dir, exist_ok=True)
+    parts = [
+        "<html><head><title>Summary Report</title><style>",
+        "table,td,th{border:1px solid black;border-collapse:collapse;padding:5px;}",
+        "td,th{max-width:25rem;word-wrap:break-word;vertical-align:top;}",
+        "tbody tr:hover{background-color:#ccc;}",
+        "</style></head><body>",
+        '<a name="top"></a><h1>Summary Report</h1>',
+        "<h3>Table of Contents</h3><ul>",
+        '<li><a href="#counters">Counters</a></li>',
+        '<li><a href="#sv-summary">StatVar Summary</a></li>',
+        '<li><a href="#place-series">Place Series Summaries</a></li>',
+        "</ul>",
+        '<h2 id="counters">Counters</h2>',
+    ]
+    for level in sorted((level_summary or {}).keys()):
+        counters = (level_summary or {})[level].get("counters", {})
+        parts.append(f"<h4>{_esc(level)}</h4><table><tr><th>Counter</th><th>Count</th></tr>")
+        for k in sorted(counters):
+            parts.append(f"<tr><td>{_esc(k)}</td><td>{_esc(counters[k])}</td></tr>")
+        parts.append("</table>")
+    parts.append('<h2 id="sv-summary">StatVar Summary</h2><table><tr>')
+    sv_cols = [
+        ("stat_var", "StatVar"), ("num_places", "NumPlaces"),
+        ("num_observations", "NumObservations"), ("min_value", "MinValue"),
+        ("max_value", "MaxValue"), ("num_dates", "NumUniqueDates"),
+        ("min_date", "MinDate"), ("max_date", "MaxDate"),
+        ("measurementMethods", "MeasurementMethods"), ("units", "Units"),
+        ("scalingFactors", "ScalingFactors"), ("observationPeriods", "ObservationPeriods"),
+    ]
+    parts.append("".join(f"<th>{h}</th>" for _, h in sv_cols) + "</tr>")
+    for r in report.get("statVarSummary", []):
+        parts.append(
+            "<tr>" + "".join(f"<td>{_esc(r.get(c, ''))}</td>" for c, _ in sv_cols) + "</tr>"
+        )
+    parts.append("</table>")
+    parts.append('<h2 id="place-series">Place Series Summaries</h2>')
+    for s in report.get("placeSeriesSummary", []):
+        title = f"{s.get('place', '')} — {s.get('stat_var', '')}"
+        dates = s.get("series_dates") or []
+        values = s.get("series_values") or []
+        parts.append(f"<details><summary>{_esc(title)}</summary>")
+        try:
+            parts.append(_svg_sparkline([float(v) for v in values]))
+        except (TypeError, ValueError):
+            pass
+        parts.append("<table><tr><th>Date</th><th>Value</th></tr>")
+        for d, v in zip(dates, values):
+            parts.append(f"<tr><td>{_esc(d)}</td><td>{_esc(v)}</td></tr>")
+        parts.append("</table></details>")
+    parts.append('<a href="#top">Go to Top</a></body></html>')
+    path = os.path.join(out_dir, SUMMARY_REPORT_HTML)
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    return path

@@ -186,3 +186,10 @@ def test_summary_report(spark, tmp_path):
     with open(os.path.join(out, "summary_report.json")) as f:
         data = json.load(f)
     assert data["statVarSummary"][0]["stat_var"] == "Count_Person"
+    # summary_report.html (SummaryReportGenerator.java:33): StatVar
+    # table + per-series section with an inline-SVG chart
+    with open(os.path.join(out, "summary_report.html")) as f:
+        html = f.read()
+    assert "<td>Count_Person</td>" in html
+    assert "geoId/06" in html and "<svg" in html and "<polyline" in html
+    assert "<td>2019</td><td>10.0</td>" in html.replace("</td>\n<td>", "</td><td>")
