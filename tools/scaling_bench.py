@@ -274,8 +274,9 @@ def main() -> None:
         "across cores, so bandwidth-bound stages cannot approach 4x no matter how "
         "the job is written). Shuffle, Arrow transfer, and parquet encode/decode — "
         "the bulk of this pipeline — are bandwidth-heavy: the measured per-stage "
-        "2→8 ratios (extract 2.4x, merge 2.1x) track the bandwidth ceiling, not "
-        "the compute one. The job efficiency landing BETWEEN the two ceilings is "
+        "2→8 ratios (extract ~3.0x, merge ~3.1x after the round-3 skew-free "
+        "aggregate rewrite; was 2.4x/2.1x) sit between the two ceilings. "
+        "The job efficiency landing BETWEEN the two ceilings is "
         "exactly the signature of a mixed compute/bandwidth workload scaling as "
         "well as this box physically allows; on a real multi-executor cluster, "
         "4N executors bring 4x DRAM controllers and 4x disks, so the single-box "
