@@ -164,6 +164,15 @@ def connected_components_fast(
     """Driver union-find; None when too big (caller uses the loop)."""
     import pandas as pd
 
+    if approx_edges is None:
+        # materialize ONCE before probing: the row probe, the byte
+        # probe and the Arrow collect each re-execute the edge DAG
+        # otherwise — for LSH callers that DAG is the whole
+        # bucket/verify pipeline, so un-checkpointed probes tripled
+        # its cost; a block-manager checkpoint spills to disk, so a
+        # too-big edge set still falls through to the distributed loop
+        # without driver pressure
+        edges = edges.localCheckpoint()
     n = approx_edges if approx_edges is not None else edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
     if n > DRIVER_CC_MAX_EDGES:
         return None
