@@ -17,6 +17,14 @@ Spark-first shape: two passes, both fully JVM-side —
 
 No Python UDFs anywhere; every predicate is a column expression so the
 whole suite rides whole-stage codegen and one shuffle (the groupBy).
+
+Hot-path expressions carry only a static check id + up to 4 operand
+columns; the human-readable message is rendered AFTER the explode — on
+the (tiny) error set — via a broadcast template join + format_string.
+Round 3 built the full message concat tree inside every check branch,
+which cost ~4s of py4j expression construction plus ~5s of Janino
+projection compilation per fresh session before the first row was
+checked; the check SEMANTICS and the emitted messages are unchanged.
 """
 
 from __future__ import annotations
@@ -61,26 +69,63 @@ def _dcid_ok(c):
     return F.when(c.startswith("bio/"), c.rlike(_BIO_DCID_OK)).otherwise(c.rlike(_DCID_OK))
 
 
-def _err(cond, level: str, counter, message):
-    return F.when(
-        cond,
-        F.struct(
-            F.lit(level).alias("level"),
-            (counter if not isinstance(counter, str) else F.lit(counter)).alias("counter"),
-            message.alias("message"),
-        ),
+# ---- compact error emission -------------------------------------------------
+#
+# Each check site registers (level, message template) once per process and
+# gets a small integer id; the hot path emits struct(cid, counter, o1..o4).
+# Messages are format_string(template, o1..o4) applied post-explode — extra
+# %s-less operands are ignored by the JVM formatter.
+
+_MAX_OPS = 4
+_TEMPLATES: list[tuple[int, str, str]] = []  # (cid, level, template)
+
+
+def _reg(level: str, template: str) -> int:
+    cid = len(_TEMPLATES)
+    _TEMPLATES.append((cid, level, template))
+    return cid
+
+
+def _err(cond, cid: int, counter, *ops):
+    """struct(cid, counter, o1..o4) when cond else null. ``counter`` may
+    be a str or a (small) Column for dynamic counter names."""
+    fields = [
+        F.lit(cid).alias("cid"),
+        (F.lit(counter) if isinstance(counter, str) else counter).alias("counter"),
+    ]
+    for i in range(_MAX_OPS):
+        op = ops[i] if i < len(ops) else F.lit("")
+        fields.append(F.coalesce(op.cast("string"), F.lit("")).alias(f"o{i + 1}"))
+    return F.when(cond, F.struct(*fields))
+
+
+def _raw_explode(df: DataFrame, checks) -> DataFrame:
+    return df.select(
+        F.col("node_id"),
+        F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("e"),
+    ).select("node_id", "e.cid", "e.counter", "e.o1", "e.o2", "e.o3", "e.o4")
+
+
+def _finalize(raw: DataFrame) -> DataFrame:
+    """(node_id, cid, counter, o1..o4) → (node_id, level, counter, message)
+    via a broadcast join against the ~60-row template table."""
+    spark = raw.sparkSession
+    tdf = spark.createDataFrame(_TEMPLATES, "cid int, level string, template string")
+    return raw.join(F.broadcast(tdf), "cid").select(
+        "node_id",
+        "level",
+        "counter",
+        # pyspark's format_string() helper requires a literal format;
+        # the SQL form accepts a per-row one (FormatString evaluates its
+        # first child like any other expression)
+        F.expr("format_string(template, o1, o2, o3, o4)").alias("message"),
     )
-
-
-def _msg(*parts):
-    return F.concat(*[F.lit(p) if isinstance(p, str) else p for p in parts])
 
 
 def check_nodes(nodes: DataFrame) -> DataFrame:
     """Run the sanity suite → error rows (node_id, level, counter, message)."""
-    row_errors = _row_checks(nodes)
-    node_errors = _node_checks(nodes)
-    return row_errors.unionByName(node_errors)
+    raw = _row_checks(nodes).unionByName(_node_checks(nodes))
+    return _finalize(raw)
 
 
 def failed_node_ids(errors: DataFrame) -> DataFrame:
@@ -91,8 +136,7 @@ def failed_node_ids(errors: DataFrame) -> DataFrame:
 
 
 # Column-expression trees bind only to column NAMES, so they are
-# reusable across DataFrames; building them costs thousands of py4j
-# round-trips (~2-5s of driver time per call) — build once per process.
+# reusable across DataFrames — build once per process.
 _EXPR_CACHE: dict = {}
 
 
@@ -100,42 +144,37 @@ def _row_checks(nodes: DataFrame) -> DataFrame:
     checks = _EXPR_CACHE.get("row_checks")
     if checks is None:
         checks = _EXPR_CACHE["row_checks"] = _build_row_checks()
-    nid = F.col("node_id")
-    return (
-        nodes.select(nid.alias("node_id"), F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("e"))
-        .select("node_id", "e.level", "e.counter", "e.message")
-    )
+    return _raw_explode(nodes, checks)
 
 
 def _build_row_checks():
     p, vt, v, nid = F.col("prop"), F.col("value_type"), F.col("value"), F.col("node_id")
     is_ref_prop = p.isin(*sorted(V.REFERENCE_PROPS))
     return F.array(
-        _err(p == "", LEVEL_ERROR, "Sanity_EmptyProperty",
-             _msg("Found an empty property :: node: '", nid, "'")),
+        _err(
+            p == "",
+            _reg(LEVEL_ERROR, "Found an empty property :: node: '%s'"),
+            "Sanity_EmptyProperty", nid,
+        ),
         _err(
             (p != "") & ~F.substring(p, 1, 1).rlike("^[a-z]$"),
-            LEVEL_ERROR, "Sanity_NotInitLowerPropName",
-            _msg("Found property name that does not start with a lower-case :: property: '",
-                 p, "', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, "Found property name that does not start with a lower-case :: property: '%s', node: '%s'"),
+            "Sanity_NotInitLowerPropName", p, nid,
         ),
         _err(
             (vt != "TEXT") & v.rlike(r"[^\x00-\x7F]"),
-            LEVEL_ERROR, "Sanity_NonAsciiValueInNonText",
-            _msg("Found non-ascii characters in a value that is not text :: value: '",
-                 v, "', type: '", vt, "', property: '", p, "', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, "Found non-ascii characters in a value that is not text :: value: '%s', type: '%s', property: '%s', node: '%s'"),
+            "Sanity_NonAsciiValueInNonText", v, vt, p, nid,
         ),
         _err(
             is_ref_prop & vt.isin("TEXT", "NUMBER"),
-            LEVEL_ERROR, "Sanity_RefPropHasNonRefValue",
-            _msg("Found text/numeric value in a reference property :: value: '",
-                 v, "', property: '", p, "', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, "Found text/numeric value in a reference property :: value: '%s', property: '%s', node: '%s'"),
+            "Sanity_RefPropHasNonRefValue", v, p, nid,
         ),
         _err(
             (p == "dcid") & (F.length(v) > V.MAX_DCID_LENGTH),
-            LEVEL_ERROR, "Sanity_VeryLongDcid",
-            _msg("Found a very long dcid value; must be less than ",
-                 F.lit(str(V.MAX_DCID_LENGTH)), " :: node: '", nid, "'"),
+            _reg(LEVEL_ERROR, f"Found a very long dcid value; must be less than {V.MAX_DCID_LENGTH} :: node: '%s'"),
+            "Sanity_VeryLongDcid", nid,
         ),
         _err(
             (
@@ -143,10 +182,8 @@ def _build_row_checks():
                 | ((p != "dcid") & (vt == "RESOLVED_REF"))
             )
             & (v != "") & ~_dcid_ok(v),
-            LEVEL_ERROR,
-            F.concat(F.lit("Sanity_InvalidChars_"), p),
-            _msg("Found invalid chars in dcid value :: value: '", v,
-                 "', property: '", p, "', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, "Found invalid chars in dcid value :: value: '%s', property: '%s', node: '%s'"),
+            F.concat(F.lit("Sanity_InvalidChars_"), p), v, p, nid,
         ),
     )
 
@@ -169,11 +206,7 @@ def _node_checks(nodes: DataFrame) -> DataFrame:
         .dropDuplicates(["node_id", "prop", "value"])
     )
     g = nodes.groupBy("node_id").agg(*aggs)
-    nid = F.col("node_id")
-    return g.select(
-        nid.alias("node_id"),
-        F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("e"),
-    ).select("node_id", "e.level", "e.counter", "e.message")
+    return _raw_explode(g, checks)
 
 
 def _build_node_checks():
@@ -235,16 +268,14 @@ def _build_node_checks():
     def req(cond, count_col, prop, type_name, level=LEVEL_ERROR):
         """checkRequiredSingleValueProp (McfChecker.java:683-729)."""
         missing = _err(
-            cond & (F.col(count_col) == 0), level,
-            f"Sanity_MissingOrEmpty_{prop}",
-            _msg("Found a missing or empty property value :: property: '",
-                 f"{prop}", "', node: '", nid, "', type: '", f"{type_name}", "'"),
+            cond & (F.col(count_col) == 0),
+            _reg(level, f"Found a missing or empty property value :: property: '{prop}', node: '%s', type: '{type_name}'"),
+            f"Sanity_MissingOrEmpty_{prop}", nid,
         )
         multiple = _err(
-            cond & (F.col(count_col) > 1), level,
-            f"Sanity_MultipleVals_{prop}",
-            _msg("Found multiple values for single-value property :: property: '",
-                 f"{prop}", "', node: '", nid, "'"),
+            cond & (F.col(count_col) > 1),
+            _reg(level, f"Found multiple values for single-value property :: property: '{prop}', node: '%s'"),
+            f"Sanity_MultipleVals_{prop}", nid,
         )
         return [missing, multiple]
 
@@ -254,118 +285,119 @@ def _build_node_checks():
         F.col("stat_type") == "measurementResult"
     )
 
+    not_init_upper_pop = "Found a class reference that does not start with an upper-case :: reference: '%s', property: 'populationType', node: '%s'"
+    not_init_lower_mp = "Found a property reference that does not start with a lower-case :: reference: '%s', property: 'measuredProperty', node: '%s'"
+    bad_obs_date = "Found a non-ISO8601 compliant date value :: value: '%s', property: 'observationDate', node: '%s'"
+
     checks = F.array(
         # checkCommon: required typeOf + Thing type
-        _err(F.size(types) == 0, LEVEL_ERROR, "Sanity_MissingOrEmpty_typeOf",
-             _msg("Found a missing or empty property value :: property: 'typeOf', node: '",
-                  nid, "', type: 'Thing'")),
-        _err(has("Thing"), LEVEL_ERROR, "Sanity_TypeThing",
-             _msg("Found a node with type Thing :: node: '", nid, "'")),
-        _err(F.col("n_dcid") > 1, LEVEL_ERROR, "Sanity_MultipleDcidValues",
-             _msg("Found dcid with more than one value :: count: ",
-                  F.col("n_dcid").cast("string"), ", node: '", nid, "'")),
+        _err(
+            F.size(types) == 0,
+            _reg(LEVEL_ERROR, "Found a missing or empty property value :: property: 'typeOf', node: '%s', type: 'Thing'"),
+            "Sanity_MissingOrEmpty_typeOf", nid,
+        ),
+        _err(
+            has("Thing"),
+            _reg(LEVEL_ERROR, "Found a node with type Thing :: node: '%s'"),
+            "Sanity_TypeThing", nid,
+        ),
+        _err(
+            F.col("n_dcid") > 1,
+            _reg(LEVEL_ERROR, "Found dcid with more than one value :: count: %s, node: '%s'"),
+            "Sanity_MultipleDcidValues", F.col("n_dcid"), nid,
+        ),
         # SVObs (McfChecker.java:305-341)
         *req(is_svobs, "n_vm", "variableMeasured", "StatVarObservation"),
         *req(is_svobs, "n_oa", "observationAbout", "StatVarObservation"),
         *req(is_svobs, "n_od", "observationDate", "StatVarObservation"),
         _err(
             is_svobs & (F.col("n_od") == 1) & ~col_is_valid_date(F.col("obs_date")),
-            LEVEL_ERROR, "Sanity_InvalidObsDate",
-            _msg("Found a non-ISO8601 compliant date value :: value: '",
-                 F.col("obs_date"), "', property: 'observationDate', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, bad_obs_date),
+            "Sanity_InvalidObsDate", F.col("obs_date"), nid,
         ),
         *req(is_svobs, "n_val", "value", "StatVarObservation", LEVEL_WARNING),
         # StatVar (McfChecker.java:225-303)
         *req(is_statvar, "n_pt", "populationType", "StatisticalVariable", LEVEL_WARNING),
         _err(
             is_statvar & (F.col("n_pt") > 0) & ~init_upper(F.col("pop_type")),
-            LEVEL_ERROR, "Sanity_NotInitUpper_populationType",
-            _msg("Found a class reference that does not start with an upper-case :: reference: '",
-                 F.col("pop_type"), "', property: 'populationType', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, not_init_upper_pop),
+            "Sanity_NotInitUpper_populationType", F.col("pop_type"), nid,
         ),
         *req(is_statvar, "n_mp", "measuredProperty", "StatisticalVariable"),
         _err(
             is_statvar & (F.col("n_mp") > 0)
             & (F.col("mprop") != F.coalesce(F.col("dcid"), F.lit("")))
             & ~init_lower(F.col("mprop")),
-            LEVEL_ERROR, "Sanity_NotInitLower_measuredProperty",
-            _msg("Found a property reference that does not start with a lower-case :: reference: '",
-                 F.col("mprop"), "', property: 'measuredProperty', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, not_init_lower_mp),
+            "Sanity_NotInitLower_measuredProperty", F.col("mprop"), nid,
         ),
         *req(is_statvar, "n_st", "statType", "StatisticalVariable"),
         _err(
             is_statvar & (F.col("n_st") > 0) & ~stat_type_known,
-            LEVEL_ERROR, "Sanity_UnknownStatType",
-            _msg("Found an unknown statType value :: value: '", F.col("stat_type"),
-                 "', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, "Found an unknown statType value :: value: '%s', node: '%s'"),
+            "Sanity_UnknownStatType", F.col("stat_type"), nid,
         ),
         *req(is_statvar, "n_dcid", "dcid", "StatisticalVariable"),
         # Legacy population (McfChecker.java:342-351)
         *req(is_legacy_pop, "n_pt", "populationType", "StatisticalPopulation"),
         _err(
             is_legacy_pop & (F.col("n_pt") > 0) & ~init_upper(F.col("pop_type")),
-            LEVEL_ERROR, "Sanity_NotInitUpper_populationType",
-            _msg("Found a class reference that does not start with an upper-case :: reference: '",
-                 F.col("pop_type"), "', property: 'populationType', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, not_init_upper_pop),
+            "Sanity_NotInitUpper_populationType", F.col("pop_type"), nid,
         ),
         *req(is_legacy_pop, "n_loc", "location", "StatisticalPopulation"),
         # Legacy observation (McfChecker.java:353-420)
         *req(is_legacy_obs, "n_mp", "measuredProperty", "Observation"),
         _err(
             is_legacy_obs & (F.col("n_mp") > 0) & ~init_lower(F.col("mprop")),
-            LEVEL_ERROR, "Sanity_NotInitLower_measuredProperty",
-            _msg("Found a property reference that does not start with a lower-case :: reference: '",
-                 F.col("mprop"), "', property: 'measuredProperty', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, not_init_lower_mp),
+            "Sanity_NotInitLower_measuredProperty", F.col("mprop"), nid,
         ),
         *req(is_legacy_obs, "n_on", "observedNode", "Observation"),
         *req(is_legacy_obs, "n_od", "observationDate", "Observation"),
         _err(
             is_legacy_obs & (F.col("n_od") == 1) & ~col_is_valid_date(F.col("obs_date")),
-            LEVEL_ERROR, "Sanity_InvalidObsDate",
-            _msg("Found a non-ISO8601 compliant date value :: value: '",
-                 F.col("obs_date"), "', property: 'observationDate', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, bad_obs_date),
+            "Sanity_InvalidObsDate", F.col("obs_date"), nid,
         ),
         _err(
             is_legacy_obs & (F.col("n_statval") > 0)
             & F.col("statval.value").cast("double").isNull(),
-            LEVEL_ERROR, "Sanity_NonDoubleObsValue",
-            _msg("Found a non-double Observation value :: value: '",
-                 F.col("statval.value"), "', property: '", F.col("statval.prop"),
-                 "', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, "Found a non-double Observation value :: value: '%s', property: '%s', node: '%s'"),
+            "Sanity_NonDoubleObsValue", F.col("statval.value"), F.col("statval.prop"), nid,
         ),
         _err(
             is_legacy_obs & (F.col("n_statval") == 0) & (F.col("n_mr") == 0),
-            LEVEL_WARNING, "Sanity_ObsMissingValueProp",
-            _msg("Observation node missing value property :: node: '", nid, "'"),
+            _reg(LEVEL_WARNING, "Observation node missing value property :: node: '%s'"),
+            "Sanity_ObsMissingValueProp", nid,
         ),
         # Class / Property (McfChecker.java:605-681)
         *[
             _err(
-                is_class & (F.col(c) > 0), LEVEL_ERROR, "Sanity_UnexpectedPropInClass",
-                _msg("Unexpected property in Class node :: property: '", pr,
-                     "', node: '", nid, "'"),
+                is_class & (F.col(c) > 0),
+                _reg(LEVEL_ERROR, f"Unexpected property in Class node :: property: '{pr}', node: '%s'"),
+                "Sanity_UnexpectedPropInClass", nid,
             )
             for pr, c in [("domainIncludes", "n_di"), ("rangeIncludes", "n_ri"), ("subPropertyOf", "n_spo")]
         ],
         _err(
-            is_prop & (F.col("n_sco") > 0), LEVEL_ERROR, "Sanity_UnexpectedPropInProperty",
-            _msg("Unexpected property in Property node :: property: 'subClassOf', node: '", nid, "'"),
+            is_prop & (F.col("n_sco") > 0),
+            _reg(LEVEL_ERROR, "Unexpected property in Property node :: property: 'subClassOf', node: '%s'"),
+            "Sanity_UnexpectedPropInProperty", nid,
         ),
         _err(
             (is_class | is_prop)
             & F.col("dcid").isNotNull()
             & (F.coalesce(F.col("name"), F.col("label")).isNotNull())
             & (F.col("dcid") != F.coalesce(F.col("name"), F.col("label"))),
-            LEVEL_ERROR, "Sanity_DcidNameMismatchInSchema",
-            _msg("Schema node with dcid/name mismatch :: name: '",
-                 F.coalesce(F.col("name"), F.col("label")), "', dcid: '",
-                 F.col("dcid"), "', node: '", nid, "'"),
+            _reg(LEVEL_ERROR, "Schema node with dcid/name mismatch :: name: '%s', dcid: '%s', node: '%s'"),
+            "Sanity_DcidNameMismatchInSchema",
+            F.coalesce(F.col("name"), F.col("label")), F.col("dcid"), nid,
         ),
         _err(
             is_class & (F.coalesce(F.col("dcid"), F.lit("")) != "Thing") & (F.col("n_sco") == 0),
-            LEVEL_ERROR, "Sanity_MissingOrEmpty_subClassOf",
-            _msg("Found a missing or empty property value :: property: 'subClassOf', node: '",
-                 nid, "', type: 'Class'"),
+            _reg(LEVEL_ERROR, "Found a missing or empty property value :: property: 'subClassOf', node: '%s', type: 'Class'"),
+            "Sanity_MissingOrEmpty_subClassOf", nid,
         ),
     )
     return keep, aggs, checks

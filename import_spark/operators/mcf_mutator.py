@@ -64,17 +64,21 @@ def _is_legacy_obs_type(col):
 
 
 def _node_type_flags(nodes: DataFrame) -> DataFrame:
-    """(node_id, is_legacy_obs, is_statvar) from typeOf rows."""
-    return (
-        nodes.filter(F.col("prop") == "typeOf")
-        .groupBy("node_id")
-        .agg(
-            F.max(
-                F.col("value").endswith("Observation")
-                & (F.col("value") != "StatVarObservation")
-            ).alias("is_legacy_obs"),
-            F.max(F.col("value") == "StatisticalVariable").alias("is_statvar"),
-        )
+    """One partial-agg pass → (node_id, is_legacy_obs, is_statvar,
+    has_type, has_cv). Covers every node (not just those with typeOf)
+    so the missing-typeOf error and the mutator-touched predicate fall
+    out of the same shuffle; map-side combine reduces the exchange to
+    one row per node per partition."""
+    is_type = F.col("prop") == "typeOf"
+    return nodes.groupBy("node_id").agg(
+        F.max(
+            is_type
+            & F.col("value").endswith("Observation")
+            & (F.col("value") != "StatVarObservation")
+        ).alias("is_legacy_obs"),
+        F.max(is_type & (F.col("value") == "StatisticalVariable")).alias("is_statvar"),
+        F.max(is_type).alias("has_type"),
+        F.max(F.col("value_type") == "COMPLEX_VALUE").alias("has_cv"),
     )
 
 
@@ -123,22 +127,26 @@ def _complex_lookup(nodes: DataFrame) -> DataFrame:
 def mutate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Apply McfMutator transforms → (mutated nodes, error rows).
 
-    Error rows: (node_id, counter, message)."""
+    Error rows: (node_id, counter, message).
+
+    If the input carries a ``_pre_checked`` boolean column (the genmcf
+    parse gate marks CSV-expanded survivors True — they are proven to
+    produce ZERO checker entries), the output carries a ``_touched``
+    column: True for every row the mutator created or may have changed
+    (legacy-obs cleaning, complex-value rewrite, StatVar synthesis,
+    child nodes, un-gated input). A pre-checked node with _touched
+    False is byte-identical to its gated input, so the caller's
+    post-mutation sanity pass (Processor.java:330-345) only needs the
+    _touched slice — the delta, not the table."""
+    track_touched = "_pre_checked" in nodes.columns
     flags = F.broadcast(_node_type_flags(nodes))
-    n = nodes.join(flags, "node_id", "left").na.fill(
-        {"is_legacy_obs": False, "is_statvar": False}
-    )
+    n = nodes.join(flags, "node_id", "left")
 
     # --- errors ---
-    no_type = (
-        nodes.select("node_id")
-        .distinct()
-        .join(flags.select("node_id"), "node_id", "left_anti")
-        .select(
-            "node_id",
-            F.lit("Mutator_MissingTypeOf").alias("counter"),
-            F.concat(F.lit("Missing typeOf value for node :: node: '"), F.col("node_id"), F.lit("'")).alias("message"),
-        )
+    no_type = flags.filter(~F.col("has_type")).select(
+        "node_id",
+        F.lit("Mutator_MissingTypeOf").alias("counter"),
+        F.concat(F.lit("Missing typeOf value for node :: node: '"), F.col("node_id"), F.lit("'")).alias("message"),
     )
     is_stat_val = F.col("prop").isin(*STAT_VALUE_PROPS)
     bad_obs_rows = n.filter(
@@ -189,6 +197,30 @@ def mutate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
         & F.col("_cv_dcid").isNotNull()
         & F.col("_skip").isNull()
     )
+    if track_touched:
+        # a pre-checked node is re-checkable only if the mutator may
+        # have altered it — or if a synthesized complex CHILD shares
+        # its node_id (the union below then grows its prop set)
+        n = n.join(
+            F.broadcast(
+                lut.select(F.col("dcid").alias("node_id")).distinct().withColumn(
+                    "_child_id", F.lit(True)
+                )
+            ),
+            "node_id",
+            "left",
+        ).withColumn(
+            "_touched",
+            ~F.coalesce(F.col("_pre_checked"), F.lit(False))
+            | F.col("is_legacy_obs")
+            | F.col("is_statvar")
+            | F.col("has_cv")
+            | ~F.col("has_type")
+            | F.col("_child_id").isNotNull(),
+        )
+    keep_cols = [*_NODE_COLS, "is_statvar", "_skip"] + (
+        ["_touched"] if track_touched else []
+    )
     n = (
         n.withColumn("_ck", F.when(F.col("value_type") == "COMPLEX_VALUE", F.col("value")))
         .join(
@@ -201,7 +233,7 @@ def mutate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
             "value_type",
             F.when(rewrite_cv, F.lit("RESOLVED_REF")).otherwise(F.col("value_type")),
         )
-        .select(*_NODE_COLS, "is_statvar", "_skip")
+        .select(*keep_cols)
     )
     # child nodes: one per distinct complex dcid
     child = lut.select(
@@ -277,12 +309,11 @@ def mutate_nodes(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
         schema="node_id string, prop string, value_type string, value string, src_file string",
     )
 
-    out = (
-        n.select(*_NODE_COLS)
-        .unionByName(child)
-        .unionByName(sv_new)
-        .unionByName(name_rows)
-    )
+    out_cols = [*_NODE_COLS] + (["_touched"] if track_touched else [])
+    added = child.unionByName(sv_new).unionByName(name_rows)
+    if track_touched:
+        added = added.withColumn("_touched", F.lit(True))
+    out = n.select(*out_cols).unionByName(added)
     return out, errors
 
 

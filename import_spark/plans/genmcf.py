@@ -67,8 +67,12 @@ def run_genmcf(
     """End-to-end genmcf. ``csv_df``: the table scan; ``instance_nodes``:
     optional pre-parsed long-form MCF rows (read_mcf output) unioned in
     like Processor.processNodes."""
+    from import_spark.session import persistent_rdd_ids
+
+    _ids0 = persistent_rdd_ids(spark)
     stmts = None
     parse_errors = None
+    exp_ids: set[int] = set()
     if csv_df is not None:
         stmts = expand_template(
             csv_df,
@@ -76,6 +80,7 @@ def run_genmcf(
             row_id_col=row_id_col,
             min_partitions=spark.sparkContext.defaultParallelism,
         ).localCheckpoint()
+        exp_ids = persistent_rdd_ids(spark) - _ids0
         # TmcfCsvParser inline gate (TmcfCsvParser.java:224-228): every
         # parsed node runs the sanity suite and a node with ANY entry —
         # warnings included, McfChecker.addLog sets nodeFailure
@@ -84,29 +89,45 @@ def run_genmcf(
         # shared LogWrapper. Instance-MCF input is NOT gated here (the
         # reference checks it post-mutation, Processor.java:330-345).
         parse_errors = check_nodes(stmts).localCheckpoint()
+        # survivors are PROVEN clean (zero checker entries) — mark them
+        # so the post-mutation check can skip every node the mutator
+        # leaves byte-identical (the r3 +67% regression was paying a
+        # second full checker pass here)
         stmts = stmts.join(
             parse_errors.select("node_id").distinct(), "node_id", "left_anti"
-        )
+        ).withColumn("_pre_checked", F.lit(True))
     if instance_nodes is not None:
-        stmts = (
-            instance_nodes
-            if stmts is None
-            else stmts.unionByName(instance_nodes.select(*stmts.columns))
-        )
+        inst = instance_nodes.select(
+            *[c for c in instance_nodes.columns if c != "_pre_checked"]
+        ).withColumn("_pre_checked", F.lit(False))
+        stmts = inst if stmts is None else stmts.unionByName(inst.select(*stmts.columns))
     if stmts is None:
         raise ValueError("need csv_df and/or instance_nodes")
     # materialize the expansion ONCE: the mutator/checker/resolver each
     # consume it several times (flags, complex lookup, synthesis,
     # row+node checks) and would re-run the Python stage otherwise
+    _pre_union = persistent_rdd_ids(spark)
     stmts = stmts.localCheckpoint()
+    union_ids = persistent_rdd_ids(spark) - _pre_union
+    # the gated union is self-contained now — release the superseded
+    # raw-expansion blocks (parse_errors has its own checkpoint) so the
+    # block manager doesn't carry two copies of the statement table
+    _rdds = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    for rid in exp_ids:
+        if rid in _rdds:
+            _rdds[rid].unpersist()
 
-    # 2. mutate
-    mutated, mut_errors = mutate_nodes(stmts)
-    mutated = mutated.localCheckpoint()
+    # 2. mutate (tracks _touched: rows the mutator created or changed)
+    mutated_t, mut_errors = mutate_nodes(stmts)
+    mutated_t = mutated_t.localCheckpoint()
+    mutated = mutated_t.drop("_touched")
 
     # 3. check (sanity suite; counters only — the resolver decides
-    # quarantine, matching Processor.java:330-345)
-    check_errors = check_nodes(mutated)
+    # quarantine, matching Processor.java:330-345). Gated survivors the
+    # mutator did not touch are byte-identical to their checked input,
+    # so the suite only scans the _touched delta — same entries as the
+    # reference's full post-mutation pass, a fraction of the I/O.
+    check_errors = check_nodes(mutated_t.filter(F.col("_touched")).drop("_touched"))
 
     # 4. resolve — dictionary = caller's (the Recon stand-in) + local-
     # graph seeding (J2: external ids defined WITH a dcid in this very
@@ -123,6 +144,10 @@ def run_genmcf(
         force_distributed=force_distributed_resolve,
     )
 
+    # materialize the (small) error set ONCE: it feeds the report union,
+    # the failed-sanity counter AND the returned frame — unmaterialized,
+    # each consumer re-ran the checker suite + mutator error branch
+    # (two extra full passes in r3)
     post_errors = (
         mut_errors.withColumn("level", F.lit("LEVEL_ERROR"))
         .select("node_id", "level", "counter", "message")
@@ -132,7 +157,13 @@ def run_genmcf(
                 "node_id", "level", "counter", "message"
             )
         )
-    )
+    ).localCheckpoint()
+    # mut_errors was the last consumer of the gated-union checkpoint —
+    # release its blocks too
+    _rdds = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    for rid in union_ids:
+        if rid in _rdds:
+            _rdds[rid].unpersist()
     # parse-gate entries join the report (shared LogWrapper) but not the
     # success arithmetic: gated nodes never reach the post-mutation
     # check the reference derives numNodeSuccesses from
@@ -142,7 +173,7 @@ def run_genmcf(
         else post_errors.unionByName(
             parse_errors.select("node_id", "level", "counter", "message")
         )
-    ).localCheckpoint()
+    )
 
     # counters (Processor.java:395-397)
     n_nodes = mutated.select("node_id").distinct().count()
