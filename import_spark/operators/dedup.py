@@ -180,23 +180,50 @@ def minhash_dedup(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """SimHash fingerprint: per-token 64-bit hash, per-bit ±1 vote,
     sign → bit. Expressed as one explode + one aggregation with
-    ``bits`` native sum expressions (no Python)."""
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ``bits`` native sum expressions (no Python).
+
+    ``hash_fn``: "xxhash64" (default — fastest, JVM-side) or "sha256"
+    (the first 16 hex chars of sha2; slower but bit-identical across
+    engines, which makes the whole tokenize→vote→pack pipeline
+    verifiable against a DuckDB twin — xxhash64 has no DuckDB
+    equivalent)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    if hash_fn == "xxhash64":
+        toks = toks.withColumn("_h", F.xxhash64("tok"))
+
+        def bit(i):
+            return F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1
+
+    elif hash_fn == "sha256":
+        if bits > 64:
+            raise ValueError("sha256 mode packs at most 64 bits")
+        toks = toks.withColumn("_hx", F.sha2(F.col("tok"), 256))
+        # hex-digit values d0..d15 (big-endian); avoids 64-bit int
+        # parsing so the same arithmetic runs in any SQL engine
+        a = lambda p: F.ascii(F.substring(F.col("_hx"), p + 1, 1))  # noqa: E731
+        toks = toks.withColumns(
+            {f"_d{j}": F.when(a(j) >= 97, a(j) - 87).otherwise(a(j) - 48) for j in range(16)}
         )
-        .filter(F.col("tok") != "")
-        .withColumn("_h", F.xxhash64("tok"))
-    )
+
+        def bit(i):
+            return F.shiftright(F.col(f"_d{15 - i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1
+
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
+        F.sum(F.when(bit(i), 1).otherwise(-1)).alias(f"b{i}") for i in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
     sig = None

@@ -441,16 +441,219 @@ def q_c1_farmhash_ids(spark, sf):
 
 
 def q_kg_pipeline(spark, sf):
-    """O1 + full KG construction on a deterministic transcript table
-    (the flagship; iterative resolver not SQL-expressible → rows-only)."""
-    from import_spark.plans.kg_pipeline import run_pipeline
-    from import_spark.sources.transcripts import dcid_dictionary, generate_transcripts
+    """O1 + full KG construction, oracle-gated: runs on the
+    fixture-materialized 100-conversation transcript table (identical
+    content to ``generate_transcripts(spark, 100)``) so the DuckDB twin
+    (SQL_KG_PIPELINE) can recompute the full triple set — extraction,
+    linking, local-ref fixpoint with divergence/cycle quarantine,
+    sameAs connected components, canonical rewrite — independently,
+    with only the farmhash ids pre-joined from lookup tables (the
+    c1_farmhash_ids exemption)."""
+    import os as _os
 
-    tr = generate_transcripts(spark, 100)
+    from import_spark.contract_fixtures import ensure_kg_fixtures
+    from import_spark.plans.kg_pipeline import run_pipeline
+    from import_spark.sources.transcripts import dcid_dictionary
+
+    base = ensure_kg_fixtures()
+    tr = spark.read.parquet(_os.path.join(base, "transcripts.parquet"))
     res = run_pipeline(
         spark, tr, dcid_dictionary(spark), verify_text_invariant=False
     )
     return res.triples.select("subj", "pred", "obj_type", "obj")
+
+
+def _build_kg_sql() -> str:
+    """DuckDB twin of the full KG pipeline over the fixture transcripts.
+
+    Mirrors import_spark/oracle.py (itself P/R-gated against the Spark
+    pipeline at 1.0/1.0) statement-for-statement in SQL; farmhash node
+    ids come from the fixture lookup tables, everything else is
+    computed by DuckDB."""
+    from import_spark.contract_fixtures import ensure_kg_fixtures
+    from import_spark.sources.transcripts import build_dcid_dictionary
+
+    base = ensure_kg_fixtures()
+    d = build_dcid_dictionary()
+    dict_rows = ",\n    ".join(
+        "('{}','{}','{}')".format(p, e, c) for p, e, c in d.itertuples(index=False)
+    )
+    sql = r"""
+WITH RECURSIVE
+tr AS (SELECT conv_id, turn_idx, role, text, tool FROM '@BASE@/transcripts.parquet'),
+nodes AS (SELECT * FROM '@BASE@/farmhash_nodes.parquet'),
+obsid AS (SELECT * FROM '@BASE@/obs_ids.parquet'),
+t AS (SELECT tr.*, n.turn_node AS turn, n.conv_node AS cnode
+      FROM tr JOIN nodes n USING (conv_id, turn_idx)),
+dict0 (prop, ext_id, dcid) AS (VALUES
+    @DICT@),
+-- first-wins on sorted dcid (PropertyResolver.java:113)
+dict AS (SELECT prop, ext_id, min(dcid) AS dcid FROM dict0 GROUP BY 1, 2),
+
+-- statement extraction (one statement per turn by construction)
+mention AS (
+  SELECT turn, regexp_extract(text, 'we looked at (\S+)', 1) AS tok
+  FROM t WHERE regexp_matches(text, 'we looked at ')),
+def0 AS (
+  SELECT conv_id, turn,
+         regexp_extract(text, 'define (l:E\d+) = (\S+)', 1) AS local,
+         regexp_extract(text, 'define (l:E\d+) = (\S+)', 2) AS tgt
+  FROM t WHERE regexp_matches(text, 'define l:E')),
+
+-- entity linking: dictionary first, prefix fallback, dcid: strip
+tok_in AS (
+  SELECT 'M' AS kind, turn AS ctx1, '' AS ctx2, tok FROM mention
+  UNION ALL
+  SELECT 'D', conv_id, local, tgt FROM def0 WHERE tgt NOT LIKE 'l:%'),
+tok_parsed AS (
+  SELECT kind, ctx1, ctx2, tok,
+         regexp_extract(tok, '^([A-Za-z]+):(.+)$', 1) AS pfx,
+         regexp_extract(tok, '^([A-Za-z]+):(.+)$', 2) AS rest
+  FROM tok_in),
+tok_linked AS (
+  SELECT kind, ctx1, ctx2,
+    CASE
+      WHEN pfx = 'dcid' THEN rest
+      WHEN pfx IN ('iso', 'wikidataId', 'nuts', 'unData') THEN
+        coalesce(d.dcid,
+          CASE pfx WHEN 'iso' THEN 'iso' WHEN 'nuts' THEN 'nuts'
+                   WHEN 'wikidataId' THEN 'wikidataId'
+                   ELSE 'unDataCode' END || '/' || rest)
+      ELSE tok
+    END AS obj
+  FROM tok_parsed
+  LEFT JOIN dict d
+    ON d.prop = CASE pfx WHEN 'iso' THEN 'isoCode' WHEN 'wikidataId' THEN 'wikidataId'
+                         WHEN 'nuts' THEN 'nutsCode' WHEN 'unData' THEN 'unDataCode' END
+   AND d.ext_id = rest),
+
+-- local-ref definitions: distinct post-link targets per (conv, local)
+dset AS (
+  SELECT DISTINCT conv_id, local, tk, tv FROM (
+    SELECT conv_id, local, 'L' AS tk, tgt AS tv FROM def0 WHERE tgt LIKE 'l:%'
+    UNION ALL
+    SELECT ctx1 AS conv_id, ctx2 AS local, 'D', obj FROM tok_linked WHERE kind = 'D')),
+-- divergence quarantine: >1 distinct target fails the local
+clean AS (
+  SELECT conv_id, local, any_value(tk) AS tk, any_value(tv) AS tv
+  FROM dset GROUP BY conv_id, local HAVING count(*) = 1),
+-- chain fixpoint; depth cap > max locals per conv bounds cycles
+walk (conv_id, local, tk, tv, depth) AS (
+  SELECT conv_id, local, tk, tv, 0 FROM clean
+  UNION ALL
+  SELECT w.conv_id, w.local, c.tk, c.tv, w.depth + 1
+  FROM walk w JOIN clean c ON c.conv_id = w.conv_id AND c.local = w.tv
+  WHERE w.tk = 'L' AND w.depth < 12),
+resolved AS (
+  SELECT conv_id, local, min(tv) AS dcid FROM walk WHERE tk = 'D' GROUP BY 1, 2),
+use0 AS (
+  SELECT conv_id, turn, 'defines' AS pred, local FROM def0
+  UNION ALL
+  SELECT conv_id, turn, 'references', regexp_extract(text, 'see (l:E\d+)', 1)
+  FROM t WHERE regexp_matches(text, 'see l:E')),
+
+-- observations: key → dc/o/ id from the lookup
+ob0 AS (
+  SELECT turn,
+         regexp_extract(text, 'observe (\S+) (\S+) (\S+) = (\S+)( unit (\S+))?', 1) AS place,
+         regexp_extract(text, 'observe (\S+) (\S+) (\S+) = (\S+)( unit (\S+))?', 2) AS var,
+         regexp_extract(text, 'observe (\S+) (\S+) (\S+) = (\S+)( unit (\S+))?', 3) AS date,
+         regexp_extract(text, 'observe (\S+) (\S+) (\S+) = (\S+)( unit (\S+))?', 4) AS val,
+         regexp_extract(text, 'observe (\S+) (\S+) (\S+) = (\S+)( unit (\S+))?', 6) AS unit
+  FROM t WHERE regexp_matches(text, 'observe ')),
+ob AS (
+  SELECT o.turn, o.place, o.var, o.date, o.val, o.unit, i.obs_node
+  FROM ob0 o JOIN obsid i
+    ON i.place = o.place AND i.var = o.var AND i.date = o.date
+   AND i.val = o.val AND i.unit = o.unit
+  WHERE regexp_matches(o.date, '^\d{4}(-\d{2})?(-\d{2})?$')),
+
+-- complex values (the grammar emits [Years a b] and [LatLong x y])
+cx0 AS (
+  SELECT turn, regexp_extract(text, '(range|at coords) (\[[^\]]*\])', 2) AS cvs
+  FROM t WHERE regexp_matches(text, '(range|at coords) \[')),
+cxq AS (
+  SELECT turn,
+         regexp_extract(cvs, '^\[Years (\d+) (\d+)\]$', 1) AS a,
+         regexp_extract(cvs, '^\[Years (\d+) (\d+)\]$', 2) AS b
+  FROM cx0 WHERE regexp_matches(cvs, '^\[Years (\d+) (\d+)\]$')),
+cxg0 AS (
+  SELECT turn,
+         regexp_extract(cvs, '^\[LatLong (-?[\d\.]+) (-?[\d\.]+)\]$', 1) AS lat_s,
+         regexp_extract(cvs, '^\[LatLong (-?[\d\.]+) (-?[\d\.]+)\]$', 2) AS lng_s
+  FROM cx0 WHERE regexp_matches(cvs, '^\[LatLong (-?[\d\.]+) (-?[\d\.]+)\]$')),
+cxg AS (
+  SELECT turn, lat_s, lng_s,
+         CAST(floor(1e5 * CAST(lat_s AS DOUBLE) + 0.5) AS BIGINT) AS lat5,
+         CAST(floor(1e5 * CAST(lng_s AS DOUBLE) + 0.5) AS BIGINT) AS lng5
+  FROM cxg0
+  WHERE CAST(lat_s AS DOUBLE) BETWEEN -90 AND 90
+    AND CAST(lng_s AS DOUBLE) BETWEEN -180 AND 180),
+cxq_n AS (SELECT turn, 'Years' || a || 'To' || b AS dcid,
+                 'Years ' || a || ' To ' || b AS name, a, b FROM cxq),
+cxg_n AS (SELECT turn, 'latLong/' || lat5 || '_' || lng5 AS dcid,
+                 printf('%.5f,%.5f', lat5 / 1e5, lng5 / 1e5) AS name,
+                 lat_s, lng_s FROM cxg),
+
+-- sameAs edges + connected components (min-label canon)
+sa AS (
+  SELECT regexp_extract(text, 'sameAs (\S+) (\S+)', 1) AS a,
+         regexp_extract(text, 'sameAs (\S+) (\S+)', 2) AS b
+  FROM t WHERE regexp_matches(text, 'sameAs ')),
+edges AS (SELECT a, b FROM sa WHERE a <> b UNION SELECT b, a FROM sa WHERE a <> b),
+reach (a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+canon AS (SELECT a AS node, least(a, min(b)) AS canon FROM reach GROUP BY a),
+
+all_triples AS (
+  SELECT turn AS subj, 'typeOf' AS pred, 'RESOLVED_REF' AS obj_type,
+         'ConversationTurn' AS obj FROM t
+  UNION ALL SELECT turn, 'partOf', 'RESOLVED_REF', cnode FROM t
+  UNION ALL SELECT cnode, 'typeOf', 'RESOLVED_REF', 'Conversation' FROM t
+  UNION ALL SELECT turn, 'role', 'TEXT', role FROM t
+  UNION ALL SELECT turn, 'toolUsed', 'TEXT', tool FROM t WHERE tool <> ''
+  UNION ALL SELECT ctx1, 'mentions', 'RESOLVED_REF', obj FROM tok_linked WHERE kind = 'M'
+  UNION ALL SELECT turn, 'says', 'TEXT', regexp_extract(text, 'note "([^"]*)"', 1)
+            FROM t WHERE regexp_matches(text, 'note "')
+  UNION ALL SELECT turn, 'value', 'NUMBER', regexp_extract(text, 'metric is (-?\d+(\.\d+)?)', 1)
+            FROM t WHERE regexp_matches(text, 'metric is -?\d')
+  UNION ALL SELECT u.turn, u.pred, 'RESOLVED_REF', r.dcid
+            FROM use0 u JOIN resolved r USING (conv_id, local)
+  UNION ALL SELECT turn, 'observes', 'RESOLVED_REF', obs_node FROM ob
+  UNION ALL SELECT obs_node, 'typeOf', 'RESOLVED_REF', 'StatVarObservation' FROM ob
+  UNION ALL SELECT obs_node, 'observationAbout', 'RESOLVED_REF', place FROM ob
+  UNION ALL SELECT obs_node, 'variableMeasured', 'RESOLVED_REF', var FROM ob
+  UNION ALL SELECT obs_node, 'observationDate', 'TEXT', date FROM ob
+  UNION ALL SELECT obs_node, 'value', 'NUMBER', val FROM ob
+  UNION ALL SELECT obs_node, 'unit', 'RESOLVED_REF', unit FROM ob WHERE unit <> ''
+  UNION ALL SELECT turn, 'quantity', 'RESOLVED_REF', dcid FROM cxq_n
+  UNION ALL SELECT dcid, 'typeOf', 'RESOLVED_REF', 'QuantityRange' FROM cxq_n
+  UNION ALL SELECT dcid, 'name', 'TEXT', name FROM cxq_n
+  UNION ALL SELECT dcid, 'startValue', 'NUMBER', a FROM cxq_n
+  UNION ALL SELECT dcid, 'endValue', 'NUMBER', b FROM cxq_n
+  UNION ALL SELECT dcid, 'unit', 'RESOLVED_REF', 'Years' FROM cxq_n
+  UNION ALL SELECT turn, 'location', 'RESOLVED_REF', dcid FROM cxg_n
+  UNION ALL SELECT dcid, 'typeOf', 'RESOLVED_REF', 'GeoCoordinates' FROM cxg_n
+  UNION ALL SELECT dcid, 'name', 'TEXT', name FROM cxg_n
+  UNION ALL SELECT dcid, 'latitude', 'TEXT', lat_s FROM cxg_n
+  UNION ALL SELECT dcid, 'longitude', 'TEXT', lng_s FROM cxg_n
+  UNION ALL SELECT a, 'sameAs', 'RESOLVED_REF', b FROM sa),
+rewritten AS (
+  SELECT coalesce(cs.canon, s.subj) AS subj, s.pred, s.obj_type,
+         CASE WHEN s.obj_type = 'RESOLVED_REF' THEN coalesce(co.canon, s.obj)
+              ELSE s.obj END AS obj
+  FROM all_triples s
+  LEFT JOIN canon cs ON cs.node = s.subj
+  LEFT JOIN canon co ON co.node = s.obj AND s.obj_type = 'RESOLVED_REF')
+SELECT DISTINCT subj, pred, obj_type, obj FROM rewritten
+WHERE NOT (pred = 'sameAs' AND subj = obj)
+"""
+    return sql.replace("@BASE@", base).replace("@DICT@", dict_rows)
+
+
+SQL_KG_PIPELINE = _build_kg_sql()
 
 
 QUERIES = {
@@ -493,7 +696,8 @@ ORACLE_SQL = {
     "p6_date_buckets": SQL_P6,
     "p14_dcid_sanity": SQL_P14,
     "p15_object_keys": SQL_P15,
-    # c1_farmhash_ids / kg_pipeline: intentionally no SQL oracle
+    "kg_pipeline": SQL_KG_PIPELINE,
+    # c1_farmhash_ids: intentionally no SQL oracle (no DuckDB farmhash)
 }
 
 
@@ -621,24 +825,85 @@ SELECT a AS doc_id, min(b) AS canon_id FROM reach GROUP BY a HAVING min(b) < a
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash fingerprints (xxhash64 → rows-only check)."""
+    """SimHash fingerprints, hash-checked end-to-end: the sha256 hash
+    mode computes the identical per-token 64-bit value in Spark and
+    DuckDB, so the full tokenize → per-bit vote → sign → pack pipeline
+    is oracle-gated (the xxhash64 default — same pipeline, faster
+    hash — stays covered by tests/test_training_ops.py)."""
     from import_spark.operators.dedup import simhash
 
-    return simhash(_t(spark, sf, "documents"))
+    return simhash(_t(spark, sf, "documents"), hash_fn="sha256")
+
+
+def _build_simhash_sql() -> str:
+    """DuckDB twin of simhash(hash_fn='sha256'): same hex-digit
+    arithmetic, generated for the 64 bit positions."""
+
+    def hexval(p):
+        ch = f"ascii(substr(hx,{p},1))"
+        return f"(CASE WHEN {ch} >= 97 THEN {ch}-87 ELSE {ch}-48 END)"
+
+    votes = ",\n    ".join(
+        "sum(CASE WHEN (({hv} >> {s}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}".format(
+            hv=hexval(16 - i // 4), s=i % 4, i=i
+        )
+        for i in range(64)
+    )
+    # bit 63 is the sign bit: 1<<63 overflows signed arithmetic, so add
+    # the two's-complement minimum instead (Spark's shiftleft wraps)
+    pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(63)
+    )
+    pack += " + (CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    return r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, sha256(tok) AS hx FROM toks
+), v AS (
+  SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM v
+""".format(votes=votes, pack=pack)
+
+
+SQL_DEDUP_SIMHASH = _build_simhash_sql()
 
 
 def q_sim_lsh_ann(spark, sf):
-    """LSH-bucketed approximate NN (random hyperplanes → rows-only)."""
+    """LSH-bucketed approximate NN, oracle-gated via the planted-twin
+    construction (the dedup_embedding_lsh precedent): queries are x2-
+    scaled copies of 8 corpus vectors. Positive scaling preserves every
+    hyperplane sign, so each query's signature equals its twin's in all
+    bands — the twin is always a candidate and, at cosine exactly 1
+    (organic corpus max < 0.8), always rank 1. k=1 therefore has an
+    exact SQL twin while the query still runs the full production path
+    (banded signatures, bucket join, cosine rerank, windowed top-k)."""
     from pyspark.sql import functions as FF
 
     from import_spark.operators.similarity import lsh_ann_topk
 
     emb = _t(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    queries_df = emb.filter(FF.col("vec_id") < 5).select(
-        FF.col("vec_id").alias("query_id"), "embedding"
+    queries_df = emb.filter(FF.col("vec_id") < 8).select(
+        FF.col("vec_id").alias("query_id"),
+        FF.transform("embedding", lambda x: x * FF.lit(2.0))
+        .cast("array<float>")
+        .alias("embedding"),
     )
-    return lsh_ann_topk(emb, queries_df, dim=dim, k=10)
+    return lsh_ann_topk(emb, queries_df, dim=dim, k=1).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+SQL_SIM_LSH_ANN = """
+SELECT vec_id AS query_id, vec_id, 1 AS rank
+FROM embeddings WHERE vec_id < 8
+"""
 
 
 def q_text_language_id(spark, sf):
@@ -753,7 +1018,9 @@ ORACLE_SQL.update(
     {
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
         "sim_cosine_topk": SQL_SIM_TOPK,
+        "sim_lsh_ann": SQL_SIM_LSH_ANN,
         "text_token_stats": SQL_TOKEN_STATS,
         "text_quality": SQL_QUALITY,
         "text_language_id": SQL_LANGUAGE_ID,
