@@ -94,6 +94,74 @@ def local_graph_dictionary(nodes: DataFrame) -> dict:
     return {(r["id_prop"], r["id_val"]): r["dcid"] for r in pairs}
 
 
+def derive_transcript_dictionary(
+    transcripts: DataFrame, recon_table: DataFrame
+) -> DataFrame:
+    """FULL-resolution two-pass orchestration, pass 1
+    (Processor.java:82-86,451-497 + ReconClient.java:58-92 stand-in):
+    scan the input once to collect the DISTINCT external-id working set
+    (the ids Processor.lookupExternalIds submits), then "call Recon" —
+    here a join against the offline recon dimension — to derive the
+    import's dictionary. Pass 2 is the ordinary pipeline run with the
+    derived dictionary.
+
+    Fully native (regexp_extract + distinct): the id-collection pass
+    reads one column and shuffles only the distinct (prop, ext_id)
+    set — dimension-sized even at 10^12 turns. ``recon_table``:
+    (prop, ext_id, dcid) rows, the in-sandbox Recon API stand-in.
+    """
+    tok = F.explode(
+        F.array(
+            F.regexp_extract("text", r"we looked at (\S+)", 1),
+            F.regexp_extract("text", r"define (l:E\d+) = (\S+)", 2),
+        )
+    ).alias("tok")
+    parsed = (
+        transcripts.select(tok)
+        .filter(F.col("tok").contains(":"))
+        .select(
+            F.regexp_extract("tok", r"^([A-Za-z]+):(.+)$", 1).alias("pfx"),
+            F.regexp_extract("tok", r"^([A-Za-z]+):(.+)$", 2).alias("ext_id"),
+        )
+    )
+    from import_spark.operators.extract import EXT_PREFIXES
+
+    prop = F.col("pfx")
+    for k, v in EXT_PREFIXES.items():
+        prop = F.when(F.col("pfx") == k, F.lit(v)).otherwise(prop)
+    working_set = (
+        parsed.filter(F.col("pfx").isin(*EXT_PREFIXES))
+        .select(prop.alias("prop"), "ext_id")
+        .distinct()
+    )
+    # the Recon "batch lookup": only submitted ids come back
+    return recon_table.join(working_set, ["prop", "ext_id"], "left_semi").select(
+        "prop", "ext_id", "dcid"
+    )
+
+
+def derive_node_dictionary(nodes: DataFrame, recon_table: DataFrame) -> dict:
+    """The same two-pass derivation over long-form MCF statement rows
+    (the genmcf shape): pass 1 collects the distinct external-id
+    working set from the parsed graph (ExternalIdResolver.submitNode,
+    ExternalIdResolver.java:98-130), the join against the offline recon
+    table stands in for drainRemoteCalls. Returns the dictionary as a
+    driver dict (dimension-sized), ready for run_genmcf's dcid_dict."""
+    ext_props = list(V.PLACE_RESOLVABLE_AND_ASSIGNABLE_IDS)
+    working_set = (
+        nodes.filter(F.col("prop").isin(*ext_props))
+        .select(F.col("prop"), F.col("value").alias("ext_id"))
+        .distinct()
+    )
+    hits = (
+        recon_table.join(working_set, ["prop", "ext_id"], "left_semi")
+        .groupBy("prop", "ext_id")
+        .agg(F.min("dcid").alias("dcid"))
+        .collect()
+    )
+    return {(r["prop"], r["ext_id"]): r["dcid"] for r in hits}
+
+
 def dcid_map_from_df(dcid_dict: DataFrame) -> dict:
     """Collect the (small) dictionary to a driver dict for UDF-closure
     broadcast (the fused extract+link path). Deterministic first-wins

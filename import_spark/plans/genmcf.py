@@ -63,10 +63,18 @@ def run_genmcf(
     dcid_dict: dict | None = None,
     seed_local_graph: bool = True,
     force_distributed_resolve: bool = False,
+    recon_table: DataFrame | None = None,
 ) -> GenMcfResult:
     """End-to-end genmcf. ``csv_df``: the table scan; ``instance_nodes``:
     optional pre-parsed long-form MCF rows (read_mcf output) unioned in
-    like Processor.processNodes."""
+    like Processor.processNodes.
+
+    ``recon_table``: optional offline Recon dimension (prop, ext_id,
+    dcid). When given, the FULL-resolution two-pass orchestration runs
+    (Processor.java:82-86,451-497): pass 1 collects the distinct
+    external-id working set from the parsed graph and derives the
+    dictionary by joining the recon table; explicit ``dcid_dict``
+    entries and local-graph seeds override derived ones."""
     from import_spark.session import persistent_rdd_ids
 
     _ids0 = persistent_rdd_ids(spark)
@@ -132,7 +140,16 @@ def run_genmcf(
     # 4. resolve — dictionary = caller's (the Recon stand-in) + local-
     # graph seeding (J2: external ids defined WITH a dcid in this very
     # import resolve to the local nodes, ExternalIdResolver.addLocalGraph)
-    full_dict = dict(dcid_dict or {})
+    full_dict = {}
+    if recon_table is not None:
+        from import_spark.operators.link import derive_node_dictionary
+
+        # FULL-resolution pass 1: the materialized expansion IS the
+        # first scan (the reference re-reads the CSVs because it
+        # streams; a pruned re-scan of the checkpoint is the Spark
+        # analogue), the recon join stands in for the batched API calls
+        full_dict.update(derive_node_dictionary(stmts, recon_table))
+    full_dict.update(dcid_dict or {})
     if seed_local_graph:
         from import_spark.operators.link import local_graph_dictionary
 

@@ -463,6 +463,29 @@ def q_kg_pipeline(spark, sf):
     return res.triples.select("subj", "pred", "obj_type", "obj")
 
 
+def q_kg_full_resolution(spark, sf):
+    """FULL-resolution two-pass variant of the flagship
+    (Processor.java:82-86,451-497): the dictionary is NOT passed in —
+    pass 1 scans the input, collects the distinct external-id working
+    set and joins the offline Recon dimension
+    (operators/link.py:derive_transcript_dictionary); pass 2 runs the
+    ordinary pipeline with the derived dictionary. Ids absent from the
+    input cannot affect linking, so the result — and the DuckDB
+    oracle — is identical to kg_pipeline's."""
+    import os as _os
+
+    from import_spark.contract_fixtures import ensure_kg_fixtures
+    from import_spark.operators.link import derive_transcript_dictionary
+    from import_spark.plans.kg_pipeline import run_pipeline
+    from import_spark.sources.transcripts import dcid_dictionary
+
+    base = ensure_kg_fixtures()
+    tr = spark.read.parquet(_os.path.join(base, "transcripts.parquet"))
+    derived = derive_transcript_dictionary(tr, dcid_dictionary(spark))
+    res = run_pipeline(spark, tr, derived, verify_text_invariant=False)
+    return res.triples.select("subj", "pred", "obj_type", "obj")
+
+
 def _build_kg_sql() -> str:
     """DuckDB twin of the full KG pipeline over the fixture transcripts.
 
@@ -676,6 +699,7 @@ QUERIES = {
     "p15_object_keys": q_p15_object_keys,
     "c1_farmhash_ids": q_c1_farmhash_ids,
     "kg_pipeline": q_kg_pipeline,
+    "kg_full_resolution": q_kg_full_resolution,
 }
 
 ORACLE_SQL = {
@@ -697,6 +721,7 @@ ORACLE_SQL = {
     "p14_dcid_sanity": SQL_P14,
     "p15_object_keys": SQL_P15,
     "kg_pipeline": SQL_KG_PIPELINE,
+    "kg_full_resolution": SQL_KG_PIPELINE,
     # c1_farmhash_ids: intentionally no SQL oracle (no DuckDB farmhash)
 }
 

@@ -589,3 +589,43 @@ def test_mcf_resolver_instance_golden(spark, dist):
     gf = {(r.node_id, r.prop, r.value_type, r.value) for r in res.failed.drop("error").collect()}
     wf = _golden_statements(spark, "McfResolverTest_Resolved_InstanceFailure.mcf", ("keyString",))
     assert gf == wf
+
+
+def test_genmcf_full_resolution_recon_table(spark):
+    """FULL-resolution two-pass orchestration
+    (Processor.java:82-86,451-497): with ``recon_table`` the dictionary
+    is NOT passed in — pass 1 collects the distinct external-id working
+    set from the parsed graph and joins the offline recon dimension;
+    the run must then resolve exactly as if the matching dict had been
+    passed explicitly, and ids the recon table misses keep the
+    prefix-fallback dcid."""
+    csv = spark.createDataFrame(
+        [("2019", "100", "US", 1), ("2020", "200", "FR", 2), ("2021", "300", "ZZ", 3)],
+        ["Year", "Count", "Iso", "rid"],
+    )
+    recon = spark.createDataFrame(
+        [
+            ("isoCode", "US", "country/USA"),
+            ("isoCode", "FR", "country/FRA"),
+            ("isoCode", "DE", "country/DEU"),  # not in the data: must not matter
+        ],
+        ["prop", "ext_id", "dcid"],
+    )
+    res = run_genmcf(spark, TMCF, csv, row_id_col="rid", recon_table=recon)
+    got = {(r.node_id, r.prop, r.value_type, r.value) for r in res.nodes.collect()}
+    assert ("T/E1/1", "dcid", "TEXT", "country/USA") in got
+    assert ("T/E0/1", "observationAbout", "RESOLVED_REF", "country/USA") in got
+    assert ("T/E1/2", "dcid", "TEXT", "country/FRA") in got
+    # recon miss -> prefix fallback (DcidGenerator.forPlace)
+    assert ("T/E1/3", "dcid", "TEXT", "iso/ZZ") in got
+
+    # parity: identical output to passing the derived dict explicitly
+    explicit = run_genmcf(
+        spark,
+        TMCF,
+        csv,
+        row_id_col="rid",
+        dcid_dict={("isoCode", "US"): "country/USA", ("isoCode", "FR"): "country/FRA"},
+    )
+    want = {(r.node_id, r.prop, r.value_type, r.value) for r in explicit.nodes.collect()}
+    assert got == want
