@@ -31,7 +31,7 @@ import tempfile
 import pandas as pd
 
 KG_ORACLE_CONVS = 100
-_VERSION = "v1"
+_VERSION = "v2"  # v2: dc/t|dc/c node ids switched to native xxhash64-hex
 
 _OBSERVE = re.compile(r"observe (\S+) (\S+) (\S+) = (\S+)(?: unit (\S+))?")
 
@@ -51,8 +51,8 @@ def ensure_kg_fixtures() -> str:
     os.makedirs(base, exist_ok=True)
 
     from import_spark.functions.dcids import svobs_dcid
-    from import_spark.functions.farmhash import long_id
     from import_spark.functions.values import clean_numeric_string
+    from import_spark.functions.xxhash import hex_id
     from import_spark.sources.transcripts import _gen_batch
 
     tr = pd.concat(
@@ -63,10 +63,10 @@ def ensure_kg_fixtures() -> str:
 
     nodes = tr[["conv_id", "turn_idx"]].copy()
     nodes["turn_node"] = [
-        "dc/t/" + long_id(f"conv_id={c}turn_idx={t}")
+        "dc/t/" + hex_id(f"conv_id={c}turn_idx={t}")
         for c, t in zip(tr["conv_id"], tr["turn_idx"])
     ]
-    conv_node = {c: "dc/c/" + long_id(f"conv_id={c}") for c in tr["conv_id"].unique()}
+    conv_node = {c: "dc/c/" + hex_id(f"conv_id={c}") for c in tr["conv_id"].unique()}
     nodes["conv_node"] = tr["conv_id"].map(conv_node)
     nodes.to_parquet(os.path.join(base, "farmhash_nodes.parquet"), index=False)
 

@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from import_spark.functions.complex_values import parse_complex_value
@@ -76,17 +77,35 @@ def turn_dcid_key(conv_id: str, turn_idx) -> str:
     return f"conv_id={conv_id}turn_idx={turn_idx}"
 
 
+# Transcript-domain node ids are xxhash64-hex — Spark evaluates them
+# natively inside whole-stage codegen (functions/xxhash.py holds the
+# bit-parity Python twin for the oracle/fixtures). Reference-parity
+# dcids (dc/o/, dc/p/, StatVars) stay FarmHash.
+def turn_id_col(conv, tidx):
+    return F.format_string(
+        "dc/t/%016x",
+        F.xxhash64(F.concat(F.lit("conv_id="), conv, F.lit("turn_idx="), tidx.cast("string"))),
+    )
+
+
+def conv_node_col(conv):
+    return F.format_string("dc/c/%016x", F.xxhash64(F.concat(F.lit("conv_id="), conv)))
+
+
 def _turn_dcids(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
+    from import_spark.functions.xxhash import hex_id
+
     keys = "conv_id=" + conv_id + "turn_idx=" + turn_idx.astype(str)
-    return pd.Series("dc/t/" + long_id_batch(keys.values), index=keys.index)
+    return "dc/t/" + keys.map(hex_id)
 
 
 def _conv_dcids(conv_id: pd.Series) -> pd.Series:
+    from import_spark.functions.xxhash import hex_id
+
     keys = "conv_id=" + conv_id
-    # hash only distinct convs per batch (vectorized), then map back
+    # hash only distinct convs per batch, then map back
     uniq = keys.unique()
-    ids = "dc/c/" + long_id_batch(uniq)
-    return keys.map(dict(zip(uniq, ids)))
+    return keys.map({k: "dc/c/" + hex_id(k) for k in uniq})
 
 
 def _classify_token(tok: pd.Series) -> pd.DataFrame:
@@ -332,23 +351,31 @@ def extract_statements(transcripts: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Fused extract+link (the pipeline hot path)
 # ---------------------------------------------------------------------------
-# Two bandwidth optimizations over extract_statements → link_statements:
+# Bandwidth design (what bounds this stage at high core counts is
+# memory bandwidth — Arrow serialization both ways plus the Python
+# workers' copies — not CPU):
 # 1. The dcid dictionary is tiny (the reference batches it over RPC,
-#    ReconClient.java:31; we broadcast it as a plain dict in the UDF
-#    closure), so external ids resolve inside the same pandas pass —
-#    EXT rows never cross Arrow and the downstream join disappears.
-# 2. The 4-5 constant base statements per turn (typeOf/partOf/role/
-#    toolUsed/conversation-typeOf) are not built in Python: the UDF
-#    emits ONE 'TURN' row per turn (turn dcid + conv dcid + role +
-#    tool) and whole-stage-codegen explodes it into the base
-#    statements JVM-side. Python→JVM volume drops ~4x, which is what
-#    the stage's scaling is bounded by at high core counts.
+#    ReconClient.java:31), so linking happens inline — a map literal
+#    JVM-side, a dict closure Python-side; no downstream join.
+# 2. The SIMPLE anchors (base per-turn statements, mentions, notes,
+#    metrics, sees, sameAs) never touch Python at all: they are
+#    regexp_extract_all + array/explode column expressions over the
+#    transcript scan, inside whole-stage codegen. This is possible
+#    because the transcript-domain node ids (dc/t/, dc/c/) are
+#    format_string('%016x', xxhash64(key)) — native — rather than
+#    farmhash (which has no JVM column function); the reference-parity
+#    dcids (dc/o/ observations etc.) stay farmhash.
+# 3. Only turns carrying a DEFINE / complex-value / observe statement
+#    (the parse-heavy grammar) cross the Arrow boundary, pre-filtered
+#    by one rlike — a fraction of the corpus — and their turn ids
+#    arrive precomputed from the JVM so Python hashes nothing but the
+#    farmhash observation keys.
 
 FUSED_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
         T.StructField("turn_idx", T.IntegerType(), False),
-        T.StructField("kind", T.StringType(), False),  # TRIPLE | DEF | ERROR | TURN
+        T.StructField("kind", T.StringType(), False),  # TRIPLE | DEF | ERROR
         T.StructField("subj", T.StringType(), True),
         T.StructField("pred", T.StringType(), True),
         T.StructField("obj_type", T.StringType(), True),
@@ -357,6 +384,11 @@ FUSED_SCHEMA = T.StructType(
 )
 
 OUT_COLS = ["conv_id", "turn_idx", "kind", "subj", "pred", "obj_type", "obj"]
+
+# turns that need the Python parser: DEFINE (resolver records), complex
+# values (ComplexValueParser), observations (farmhash dc/o/ ids) — a
+# superset guard for the corresponding _RE_* anchors
+_PY_NEEDED = r"define l:E|range \[|at coords \[|observe "
 
 
 def _resolve_token(tok: pd.Series, dcid_map: dict) -> pd.Series:
@@ -380,12 +412,98 @@ def _resolve_token(tok: pd.Series, dcid_map: dict) -> pd.Series:
     return out
 
 
-def _extract_batch_fused(pdf: pd.DataFrame, dcid_map: dict) -> pd.DataFrame:
+def _link_token_col(tok, dcid_map: dict):
+    """JVM twin of ``_resolve_token``: dictionary first-wins via a map
+    literal (the dict is RPC-batch-sized, ReconClient.java:31), priority
+    prefix fallback, ``dcid:`` namespace strip — all native."""
+    pfx = F.regexp_extract(tok, r"^([A-Za-z]+):(.+)$", 1)
+    rest = F.regexp_extract(tok, r"^([A-Za-z]+):(.+)$", 2)
+    entries: list = []
+    for (p, e), d in sorted(dcid_map.items()):
+        entries += [F.lit(f"{p}\x00{e}"), F.lit(d)]
+    lut = F.create_map(*entries) if entries else F.create_map()
+    prop = F.lit(None).cast("string")
+    fb_pfx = F.lit(None).cast("string")
+    for k, v in EXT_PREFIXES.items():
+        prop = F.when(pfx == k, F.lit(v)).otherwise(prop)
+        fb_pfx = F.when(pfx == k, F.lit(place_dcid_prefix(v))).otherwise(fb_pfx)
+    hit = lut.getItem(F.concat(prop, F.lit("\x00"), rest))
+    return (
+        F.when(pfx == "dcid", rest)
+        .when(prop.isNotNull(), F.coalesce(hit, F.concat(fb_pfx, F.lit("/"), rest)))
+        .otherwise(tok)
+    )
+
+
+def _jvm_statements(transcripts: DataFrame, dcid_map: dict) -> DataFrame:
+    """The simple anchors as ONE native projection: base per-turn
+    statements + mentions (linked inline) + notes + metrics + sees +
+    sameAs, concatenated into an array and exploded — a single
+    whole-stage-codegen scan, zero Python."""
+    turn = turn_id_col(F.col("conv_id"), F.col("turn_idx"))
+    cnode = conv_node_col(F.col("conv_id"))
+
+    def s(subj, pred, obj_type, obj):
+        return F.struct(
+            F.lit("TRIPLE").alias("kind"),
+            (F.lit(subj) if isinstance(subj, str) else subj).alias("subj"),
+            (F.lit(pred) if isinstance(pred, str) else pred).alias("pred"),
+            F.lit(obj_type).alias("obj_type"),
+            (F.lit(obj) if isinstance(obj, str) else obj).alias("obj"),
+        )
+
+    base = F.array(
+        s(turn, "typeOf", "RESOLVED_REF", TURN_TYPE),
+        s(turn, "partOf", "RESOLVED_REF", cnode),
+        s(cnode, "typeOf", "RESOLVED_REF", CONV_TYPE),
+        s(turn, "role", "TEXT", F.col("role")),
+        F.when(F.col("tool") != "", s(turn, "toolUsed", "TEXT", F.col("tool"))),
+    )
+
+    def anchored(pattern: str, build):
+        """regexp_extract_all → one struct per match (multi-match safe,
+        same semantics as the pandas extractall path)."""
+        return F.transform(
+            F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(1)), build
+        )
+
+    mentions = anchored(
+        r"we looked at (\S+)",
+        lambda tok: s(turn, "mentions", "RESOLVED_REF", _link_token_col(tok, dcid_map)),
+    )
+    notes = anchored(r'note "([^"]*)"', lambda v: s(turn, "says", "TEXT", v))
+    metrics = anchored(
+        r"metric is (-?\d+(?:\.\d+)?)", lambda v: s(turn, "value", "NUMBER", v)
+    )
+    sees = F.transform(
+        F.regexp_extract_all(F.col("text"), F.lit(r"see (l:E\d+)"), F.lit(1)),
+        lambda v: F.struct(
+            F.lit("TRIPLE").alias("kind"),
+            turn.alias("subj"),
+            F.lit("references").alias("pred"),
+            F.lit("UNRESOLVED_REF").alias("obj_type"),
+            v.alias("obj"),
+        ),
+    )
+    same_a = F.regexp_extract_all(F.col("text"), F.lit(r"sameAs (\S+) (\S+)"), F.lit(1))
+    same_b = F.regexp_extract_all(F.col("text"), F.lit(r"sameAs (\S+) (\S+)"), F.lit(2))
+    sames = F.zip_with(same_a, same_b, lambda a, b: s(a, "sameAs", "RESOLVED_REF", b))
+
+    arr = F.concat(base, mentions, notes, metrics, sees, sames)
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("b"),
+    ).select("conv_id", "turn_idx", "b.kind", "b.subj", "b.pred", "b.obj_type", "b.obj")
+
+
+def _extract_batch_python(pdf: pd.DataFrame, dcid_map: dict) -> pd.DataFrame:
+    """The parse-heavy anchors (define / complex / observe) for the
+    pre-filtered turn subset. ``turn_id`` arrives precomputed (JVM)."""
     conv = pdf["conv_id"]
     tidx = pdf["turn_idx"]
     text = pdf["text"]
-    turn_id = _turn_dcids(conv, tidx)
-    conv_id_dc = _conv_dcids(conv)
+    turn_id = pdf["turn_id"]
 
     frames: list[pd.DataFrame] = []
 
@@ -406,25 +524,6 @@ def _extract_batch_fused(pdf: pd.DataFrame, dcid_map: dict) -> pd.DataFrame:
                 }
             )
         )
-
-    # one TURN row per turn; base statements expand JVM-side
-    emit(pdf.index, turn_id, pdf["role"], pdf["tool"], conv_id_dc, kind="TURN")
-
-    m = text.str.extractall(_RE_MENTION)
-    if len(m):
-        i = m.index.get_level_values(0)
-        emit(i, turn_id.loc[i], "mentions", "RESOLVED_REF",
-             _resolve_token(m[0].reset_index(drop=True), dcid_map))
-
-    m = text.str.extractall(_RE_NOTE)
-    if len(m):
-        i = m.index.get_level_values(0)
-        emit(i, turn_id.loc[i], "says", "TEXT", m[0].reset_index(drop=True))
-
-    m = text.str.extractall(_RE_METRIC)
-    if len(m):
-        i = m.index.get_level_values(0)
-        emit(i, turn_id.loc[i], "value", "NUMBER", m[0].reset_index(drop=True))
 
     m = text.str.extractall(_RE_COMPLEX)
     if len(m):
@@ -478,11 +577,6 @@ def _extract_batch_fused(pdf: pd.DataFrame, dcid_map: dict) -> pd.DataFrame:
         emit(i, local, "__def__", obj_type, obj, kind="DEF")
         emit(i, turn_id.loc[i], "defines", "UNRESOLVED_REF", local)
 
-    m = text.str.extractall(_RE_SEE)
-    if len(m):
-        i = m.index.get_level_values(0)
-        emit(i, turn_id.loc[i], "references", "UNRESOLVED_REF", m[0].reset_index(drop=True))
-
     m = text.str.extractall(_RE_OBSERVE)
     if len(m):
         i = m.index.get_level_values(0)
@@ -521,69 +615,30 @@ def _extract_batch_fused(pdf: pd.DataFrame, dcid_map: dict) -> pd.DataFrame:
                 emit(iu, obs_id[has_u], "unit", "RESOLVED_REF", ug[has_u])
             emit(ig, turn_id.loc[ig], "observes", "RESOLVED_REF", obs_id)
 
-    m = text.str.extractall(_RE_SAMEAS)
-    if len(m):
-        i = m.index.get_level_values(0)
-        emit(i, m[0].reset_index(drop=True), "sameAs", "RESOLVED_REF",
-             m[1].reset_index(drop=True))
-
     if not frames:
         return pd.DataFrame(columns=OUT_COLS)
     out = pd.concat(frames, ignore_index=True)
     out["turn_idx"] = out["turn_idx"].astype("int32")
-    return out
+    return out[OUT_COLS]
 
 
 def extract_and_link(transcripts: DataFrame, dcid_map: dict) -> DataFrame:
-    """Fused extract+link; output schema/semantics identical to
+    """Fused extract+link; output semantics identical to
     ``link_statements(extract_statements(df), dict_df)`` minus the
-    (internal) ext columns."""
-    from pyspark.sql import functions as F
+    (internal) ext columns. Simple anchors run JVM-side; only the
+    DEFINE/complex/observe turn subset crosses Arrow."""
+    jvm = _jvm_statements(transcripts, dcid_map)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _extract_batch_fused(pdf, dcid_map)
+                yield _extract_batch_python(pdf, dcid_map)
 
-    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-    raw = transcripts.select(*cols).mapInPandas(gen, schema=FUSED_SCHEMA)
-
-    # single-pass expansion: a TURN row becomes its 4-5 base statements,
-    # every other row passes through — one conditional explode, so the
-    # Python stage executes exactly once (a union of two filters of the
-    # same mapInPandas would run it twice)
-    s = lambda p, t, o: F.struct(  # noqa: E731
-        F.lit("TRIPLE").alias("kind"),
-        F.col("subj").alias("subj"),
-        F.lit(p).alias("pred"),
-        F.lit(t).alias("obj_type"),
-        o.alias("obj"),
-    )
-    base_arr = F.filter(
-        F.array(
-            s("typeOf", "RESOLVED_REF", F.lit(TURN_TYPE)),
-            s("partOf", "RESOLVED_REF", F.col("obj")),
-            F.struct(
-                F.lit("TRIPLE").alias("kind"),
-                F.col("obj").alias("subj"),
-                F.lit("typeOf").alias("pred"),
-                F.lit("RESOLVED_REF").alias("obj_type"),
-                F.lit(CONV_TYPE).alias("obj"),
-            ),
-            s("role", "TEXT", F.col("pred")),
-            F.when(F.col("obj_type") != "", s("toolUsed", "TEXT", F.col("obj_type"))),
-        ),
-        lambda x: x.isNotNull(),
-    )
-    passthrough = F.array(
-        F.struct(
-            F.col("kind"), F.col("subj"), F.col("pred"), F.col("obj_type"), F.col("obj")
-        )
-    )
-    return raw.select(
+    py_in = transcripts.filter(F.col("text").rlike(_PY_NEEDED)).select(
         "conv_id",
         "turn_idx",
-        F.explode(
-            F.when(F.col("kind") == "TURN", base_arr).otherwise(passthrough)
-        ).alias("b"),
-    ).select("conv_id", "turn_idx", "b.kind", "b.subj", "b.pred", "b.obj_type", "b.obj")
+        turn_id_col(F.col("conv_id"), F.col("turn_idx")).alias("turn_id"),
+        "text",
+    )
+    py = py_in.mapInPandas(gen, schema=FUSED_SCHEMA)
+    return jvm.unionByName(py)

@@ -178,6 +178,7 @@ def ivf_train_centroids(
     sample_rows: int = 100_000,
     iters: int = 10,
     seed: int = 7,
+    approx_count: int | None = None,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: k-means on a bounded sample.
 
@@ -189,8 +190,13 @@ def ivf_train_centroids(
     first partitions in scan order, so on sorted/clustered input the
     quantizer would train on one region of the space and recall
     silently degrades. A seeded Bernoulli sample sized from a cheap
-    count keeps determinism and coverage."""
-    n = corpus.select(vec_col).count()
+    count keeps determinism and coverage.
+
+    ``approx_count``: callers that already know the corpus size (even
+    roughly — it only sets the sampling fraction) pass it to skip the
+    count job, the same size-gate-parameter pattern as
+    resolve_defs_fast(approx_defs=...)."""
+    n = approx_count if approx_count is not None else corpus.select(vec_col).count()
     sampled = corpus.select(vec_col)
     if n > sample_rows:
         # no limit() after the sample either — limit takes rows in scan
@@ -265,14 +271,19 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k — the inverted-file scale path: corpus
     vectors partition into n_centroids lists (1 list each); each query
     probes its n_probe nearest lists; exact cosine rerank inside the
     probed lists. Shuffle carries only (list, vector) co-location —
     the corpus is never self-joined or broadcast. Recall rises with
-    n_probe (n_probe = n_centroids degenerates to exact search)."""
-    cents = ivf_train_centroids(corpus, dim, n_centroids, vec_col, seed=seed)
+    n_probe (n_probe = n_centroids degenerates to exact search).
+    ``approx_count`` (optional corpus size, even rough) skips the
+    quantizer's sizing count job."""
+    cents = ivf_train_centroids(
+        corpus, dim, n_centroids, vec_col, seed=seed, approx_count=approx_count
+    )
     c = ivf_assign(corpus, cents, vec_col, n_probe=1).select(
         id_col, vec_col, "ivf_list"
     )

@@ -18,8 +18,8 @@ import pandas as pd
 
 from import_spark.functions.complex_values import parse_complex_value
 from import_spark.functions.dcids import svobs_dcid
-from import_spark.functions.farmhash import long_id
 from import_spark.functions.values import clean_numeric_string, is_number, is_valid_date
+from import_spark.functions.xxhash import hex_id
 
 _MENTION = re.compile(r"we looked at (\S+)")
 _NOTE = re.compile(r'note "([^"]*)"')
@@ -64,8 +64,8 @@ def expected_triples(
 
     for _, row in transcripts.iterrows():
         conv, tix, text = row["conv_id"], row["turn_idx"], row["text"]
-        turn = "dc/t/" + long_id(f"conv_id={conv}turn_idx={tix}")
-        cnode = "dc/c/" + long_id(f"conv_id={conv}")
+        turn = "dc/t/" + hex_id(f"conv_id={conv}turn_idx={tix}")
+        cnode = "dc/c/" + hex_id(f"conv_id={conv}")
         triples.add((turn, "typeOf", "RESOLVED_REF", "ConversationTurn"))
         triples.add((turn, "partOf", "RESOLVED_REF", cnode))
         triples.add((cnode, "typeOf", "RESOLVED_REF", "Conversation"))

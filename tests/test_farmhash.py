@@ -81,3 +81,24 @@ def test_batch_matches_scalar_all_lengths():
     ids = long_id_batch(vals)
     for v, g in zip(vals, ids):
         assert g == long_id(v)
+
+
+def test_xxh64_spark_parity(spark):
+    """functions/xxhash.py (the pure-Python twin used by the pandas
+    oracle and contract fixtures) must be bit-identical to Spark's
+    native xxhash64 — including the %016x hex rendering of the
+    transcript-domain node ids."""
+    from pyspark.sql import functions as F
+
+    from import_spark.functions.xxhash import hex_id
+
+    vals = [
+        "", "a", "abc", "conv_id=conv/0000000001turn_idx=3",
+        "x" * 7, "y" * 8, "z" * 31, "w" * 32, "q" * 33, "m" * 100,
+        "héllo wörld ünïcode", "conv_id=conv/0000000042", "ab" * 17,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"]).select(
+        "s", F.format_string("%016x", F.xxhash64("s")).alias("hx")
+    )
+    for r in df.collect():
+        assert hex_id(r["s"]) == r["hx"], r["s"]

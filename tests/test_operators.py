@@ -325,3 +325,45 @@ def test_resolve_defs_vectorized_parity():
     assert set(map(tuple, vres.values)) == set(res)
     assert set(map(tuple, vdiv.values)) == set(div)
     assert set(map(tuple, vunres.values)) == set(unres)
+
+
+def test_connected_components_star_path_graph(spark):
+    """Large-star/small-star CC (Kiveris et al. SoCC'14) on an
+    adversarially deep alias graph: a 10k-node path. Must converge in
+    O(log n) rounds (min-label propagation without the star moves
+    needs O(diameter)) and produce the identical mapping contract."""
+    from import_spark.operators.canonicalize import connected_components_star
+
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)], ["src", "dst"]
+    )
+    mapping, rounds = connected_components_star(edges, return_rounds=True)
+    got = {(r.node, r.canon) for r in mapping.collect()}
+    want = {(f"n{i:05d}", "n00000") for i in range(1, n)}
+    assert got == want
+    assert rounds <= 18, rounds  # ~log2(10000) + slack; far below diameter
+
+
+def test_connected_components_star_matches_default(spark):
+    """Same mapping as the production min-label loop on a mixed graph
+    (multiple components, cycles, self-loops, duplicate edges)."""
+    from import_spark.operators.canonicalize import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("b", "a"), ("c", "b"), ("a", "c"),      # 3-cycle
+            ("x", "y"), ("y", "z"),                  # chain
+            ("q", "q"),                              # self-loop only -> no rewrite
+            ("m", "n"), ("n", "m"), ("m", "n"),      # duplicates
+        ],
+        ["src", "dst"],
+    )
+    star = {(r.node, r.canon) for r in connected_components_star(edges).collect()}
+    base = {(r.node, r.canon) for r in connected_components(edges).collect()}
+    assert star == base == {
+        ("b", "a"), ("c", "a"), ("y", "x"), ("z", "x"), ("n", "m"),
+    }
