@@ -11,14 +11,17 @@ GraphIngestionPipeline.java:44-113 + Processor.java:59-147):
 6. merge       — single-shuffle dedupe, subject-hash layout, write
 
 Pass discipline (what makes this scale): the extracted+linked statement
-set is materialized ONCE — as a kind-partitioned zstd-parquet snapshot
+set is materialized ONCE — as a class-partitioned zstd-parquet snapshot
 (the in-sandbox stand-in for an Iceberg stage table) when a
 checkpoint_dir requests cross-process resumability, else as a
-compressed columnar in-memory cache (same single-execution guarantee,
-no encode+decode round-trip of the statement table). Every later
-consumer is a column-pruned scan of that materialization. The big
-table is shuffled exactly once (dedupe) and the final row count comes
-from parquet metadata, not a recount.
+compressed columnar in-memory cache clustered by statement class
+(same single-execution guarantee, no encode+decode round-trip of the
+statement table). Every later consumer is a column-pruned AND
+row-class-pruned scan of that materialization (see `_with_cls`): the
+fat plain-triple rows (~95%) are read by exactly one pass — the fused
+resolve+canonicalize+dedupe+write. The big table is shuffled exactly
+once (dedupe) and the final row count comes from parquet metadata,
+not a recount.
 
 Every stage records counters into a metrics list
 (``(run_id, stage, counter, value)`` — the LogWrapper counter model,
@@ -55,6 +58,36 @@ from import_spark.operators.merge import (
 from import_spark.operators.resolve import resolve_defs_fast, resolve_locals
 
 FINAL_COLS = ["subj", "pred", "obj_type", "obj", "conv_id", "turn_idx"]
+
+# Statement-class column for the single materialization of the
+# extract+link output. Every later pass filters on this ONE int
+# column, so both materialization modes prune to the rows the pass
+# actually needs instead of re-scanning the fat statement table:
+#  - parquet snapshot: `_cls` is the partition column (partition
+#    pruning — the DEF/ERROR/sameAs/local scans touch only their
+#    tiny files; finer than the earlier kind= layout);
+#  - in-memory cache: the extract output is sorted within partitions
+#    by `_cls`, so the columnar cache's 10k-row batches are
+#    class-homogeneous and the cache scan's batch-stat pruning
+#    (min/max on `_cls`) skips the ~95% plain-triple batches for
+#    every narrow pass.
+# Plain triples (cls 0) are ~95% of rows at any scale (measured 46.0M
+# of 48.6M at 1M conversations), so the narrow passes drop from full
+# scans to ~5% scans; only the final merge pass reads cls<=2 in full.
+CLS_TRIPLE, CLS_LOCAL, CLS_SAMEAS, CLS_DEF, CLS_ERROR = 0, 1, 2, 3, 4
+_CLS_KIND = {CLS_TRIPLE: "TRIPLE", CLS_LOCAL: "TRIPLE", CLS_SAMEAS: "TRIPLE",
+             CLS_DEF: "DEF", CLS_ERROR: "ERROR"}
+
+
+def _with_cls(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "_cls",
+        F.when(F.col("kind") == "DEF", F.lit(CLS_DEF))
+        .when(F.col("kind") == "ERROR", F.lit(CLS_ERROR))
+        .when(F.col("pred") == "sameAs", F.lit(CLS_SAMEAS))
+        .when(F.col("obj_type") == "UNRESOLVED_REF", F.lit(CLS_LOCAL))
+        .otherwise(F.lit(CLS_TRIPLE)),
+    )
 
 
 @dataclass
@@ -114,9 +147,11 @@ def run_pipeline(
 
     # 2-3. extract + link: one fused Python stage + broadcast join,
     # materialized ONCE. With a checkpoint_dir the snapshot is a
-    # kind-partitioned parquet table (resumable across processes:
-    # DEF/ERROR scans touch only their tiny files); without one, an
-    # in-memory columnar cache — same single-execution guarantee minus
+    # class-partitioned parquet table (resumable across processes:
+    # the DEF/ERROR/sameAs/local scans touch only their tiny
+    # partitions); without one, an in-memory columnar cache sorted by
+    # class within partitions (batch-stat pruning gives the same
+    # narrow-pass skipping) — same single-execution guarantee minus
     # a full zstd encode+decode round-trip of the statement table
     # (which is pure memory/disk bandwidth, the one resource a single
     # box cannot scale).
@@ -127,8 +162,11 @@ def run_pipeline(
         keep = True if keep_snapshot is None else keep_snapshot
         # Resume is only valid if the snapshot was built from the SAME
         # inputs: persist (text digest, dcid-dict digest) alongside it
-        # and compare before trusting _SUCCESS (stale run_id reuse
-        # otherwise silently serves an old extract+link).
+        # and compare before trusting the files (stale run_id reuse
+        # otherwise silently serves an old extract+link). The digest
+        # file doubles as the success marker — it is renamed into
+        # place only AFTER the parquet write returns (the dynamic
+        # partition-overwrite committer writes no _SUCCESS file).
         dict_digest = (
             dcid_dict.select(F.bit_xor(F.xxhash64(*dcid_dict.columns)).alias("d")).collect()[0]["d"]
             or 0
@@ -136,57 +174,70 @@ def run_pipeline(
         digest_path = os.path.join(snap, "_input_digest.json")
         cur_digest = {"text_digest": din, "dict_digest": dict_digest}
         resume_ok = False
-        if os.path.exists(os.path.join(snap, "_SUCCESS")) and os.path.exists(digest_path):
+        if os.path.exists(digest_path):
             with open(digest_path) as f:
                 resume_ok = json.load(f) == cur_digest
         if resume_ok:
             m.add("link", "resumed_from_checkpoint", 1)
         else:
-            linked_plan = extract_and_link(transcripts, dcid_map_from_df(dcid_dict))
-            linked_plan.write.mode("overwrite").partitionBy("kind").parquet(snap)
-            with open(digest_path, "w") as f:
+            if os.path.exists(digest_path):
+                os.remove(digest_path)
+            linked_plan = _with_cls(extract_and_link(transcripts, dcid_map_from_df(dcid_dict)))
+            linked_plan.write.mode("overwrite").partitionBy("_cls").parquet(snap)
+            tmp_digest = digest_path + ".tmp"
+            with open(tmp_digest, "w") as f:
                 json.dump(cur_digest, f)
+            os.replace(tmp_digest, digest_path)
         linked = spark.read.parquet(snap)
     else:
-        linked = extract_and_link(transcripts, dcid_map_from_df(dcid_dict)).persist()
+        # extract_and_link's output arrives class-clustered (homogeneous
+        # union branches JVM-side, class-argsorted batches Python-side),
+        # so no Spark-side sort is needed before caching: the columnar
+        # cache batches inherit the clustering and `_cls` batch stats
+        # prune the narrow passes.
+        linked = _with_cls(extract_and_link(transcripts, dcid_map_from_df(dcid_dict))).persist()
 
-    # counters: ONE pruned scan — (kind, pred) covers the per-kind row
-    # totals AND the per-counter ERROR breakdown (pred carries the
-    # counter name on ERROR rows). kind is the partition column and
-    # pred is the only data column read.
-    kp = linked.groupBy("kind", "pred").count().collect()
+    # counters: per-class totals read ONLY the `_cls` column (RLE'd
+    # ints after the class sort), and the ERROR breakdown is a
+    # class-pruned scan — the fat statement batches are never touched.
+    cls_counts = {r["_cls"]: r["count"] for r in linked.groupBy("_cls").count().collect()}
     kind_counts: dict[str, int] = {}
-    for r in kp:
-        kind_counts[r["kind"]] = kind_counts.get(r["kind"], 0) + r["count"]
+    for c, n in cls_counts.items():
+        k = _CLS_KIND[c]
+        kind_counts[k] = kind_counts.get(k, 0) + n
     for k in sorted(kind_counts):
         m.add("extract", f"rows_{k.lower()}", kind_counts[k])
-    for r in kp:
-        if r["kind"] == "ERROR":
-            m.add("extract", r["pred"], r["count"])
+    for r in linked.filter(F.col("_cls") == CLS_ERROR).groupBy("pred").count().collect():
+        m.add("extract", r["pred"], r["count"])
 
     # 4-6. resolve → canonicalize → merge.
     #
     # Fast path (defs fit the driver gate — the common shape: locals are
     # bounded per conversation): the def fixpoint runs driver-side and
-    # every downstream consumer is a broadcast join, so the big TRIPLE
-    # table is scanned exactly twice after the snapshot — one narrow
-    # pass for the failed/sameAs side-outputs, one fused
-    # resolve+canonicalize+dedupe+write pass. The distributed fallback
-    # (defs above the gate) keeps the iterative resolver loop.
+    # every downstream consumer is a broadcast join. With the `_cls`
+    # clustering, the ONLY pass that touches the fat plain-triple rows
+    # is the final fused resolve+canonicalize+dedupe+write; the
+    # def-collect, sameAs-edge and failed-quarantine passes all prune
+    # to their ~5% classes. The distributed fallback (defs above the
+    # gate) keeps the iterative resolver loop.
     n_defs = kind_counts.get("DEF", 0)
-    triples = linked.filter(F.col("kind") == "TRIPLE")
+    triples = linked.filter(F.col("_cls") <= CLS_SAMEAS).drop("_cls")
+    same_src = linked.filter(F.col("_cls") == CLS_SAMEAS).drop("_cls")
+    loc_src = linked.filter(F.col("_cls").isin(CLS_LOCAL, CLS_SAMEAS)).drop("_cls")
     is_local = F.col("obj_type") == "UNRESOLVED_REF"
-    maps = resolve_defs_fast(linked, approx_defs=n_defs)
+    maps = resolve_defs_fast(
+        linked.filter(F.col("_cls") == CLS_DEF).drop("_cls"), approx_defs=n_defs
+    )
     if maps is not None:
         m.add("resolve", "rounds", 0)
         # The sameAs edge set must exist BEFORE the big pass (CC feeds
-        # canonicalize), so it gets its own narrow scan; the failed
-        # quarantine is only consumed by sinks/counters and is LAZY
-        # here — it materializes in the concurrent tail below, hidden
-        # under the big triple write instead of adding a serial
-        # full-table scan up front.
+        # canonicalize), so it gets its own (class-pruned) scan; the
+        # failed quarantine is only consumed by sinks/counters and is
+        # LAZY here — it materializes in the concurrent tail below,
+        # hidden under the big triple write instead of adding a serial
+        # scan up front.
         edges = (
-            triples.filter(F.col("pred") == "sameAs")
+            same_src
             .withColumn("_lk", F.when(is_local, F.col("obj")))
             .join(
                 maps.rmap.select(
@@ -202,7 +253,7 @@ def run_pipeline(
             )
         )
         failed = (
-            triples.filter(is_local)
+            loc_src.filter(is_local)
             .join(maps.rmap.withColumnRenamed("dcid", "_dc"), ["conv_id", "obj"], "left")
             .filter(F.col("_dc").isNull())
             .drop("_dc")
@@ -236,7 +287,9 @@ def run_pipeline(
             .drop("_dc", "_lk")
         )
     else:
-        res = resolve_locals(linked, num_partitions=num_partitions, approx_defs=n_defs)
+        res = resolve_locals(
+            linked.drop("_cls"), num_partitions=num_partitions, approx_defs=n_defs
+        )
         resolved = res.resolved
         failed = res.failed.localCheckpoint()
         m.add("resolve", "rounds", res.rounds)

@@ -52,3 +52,47 @@ def test_triples_are_distinct(result):
     assert res.triples.count() == res.triples.dropDuplicates(
         ["subj", "pred", "obj_type", "obj"]
     ).count()
+
+
+def test_checkpoint_snapshot_class_layout_and_resume(spark, tmp_path):
+    """The resumable snapshot is partitioned by statement class
+    (`_cls`), the narrow-pass directories are tiny vs the plain-triple
+    partition, and a digest-matched re-run resumes (identical output,
+    resume counter set)."""
+    import os
+
+    from import_spark.plans.kg_pipeline import CLS_TRIPLE, CLS_DEF
+
+    tr = generate_transcripts(spark, 120).cache()
+    ckpt = str(tmp_path / "ckpt")
+    out1 = run_pipeline(
+        spark, tr, dcid_dictionary(spark), checkpoint_dir=ckpt, keep_snapshot=True
+    )
+    snap = os.path.join(ckpt, "run0", "linked")
+    parts = sorted(d for d in os.listdir(snap) if d.startswith("_cls="))
+    assert f"_cls={CLS_TRIPLE}" in parts and f"_cls={CLS_DEF}" in parts
+
+    def _bytes(cls):
+        d = os.path.join(snap, f"_cls={cls}")
+        return sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+        ) if os.path.isdir(d) else 0
+
+    fat = _bytes(CLS_TRIPLE)
+    assert fat > 0
+    for d in parts:
+        c = int(d.split("=")[1])
+        if c != CLS_TRIPLE:
+            assert _bytes(c) < fat
+
+    n1 = out1.triples.count()
+    out2 = run_pipeline(
+        spark, tr, dcid_dictionary(spark), checkpoint_dir=ckpt, keep_snapshot=True
+    )
+    assert any(
+        r["counter"] == "resumed_from_checkpoint" for r in out2.metrics
+    ), "second run should resume from the digest-matched snapshot"
+    assert out2.triples.count() == n1
+    t1 = {(r.subj, r.pred, r.obj_type, r.obj) for r in out1.triples.collect()}
+    t2 = {(r.subj, r.pred, r.obj_type, r.obj) for r in out2.triples.collect()}
+    assert t1 == t2

@@ -14,8 +14,12 @@ Methodology notes (they matter):
   the ratio.
 - Warm-up runs a mid-size pipeline (JIT needs real volume — the
   500-conv warm-up of round 1 left the first measured trial ~3x slow);
-  each level reports the best of ``trials`` runs to damp the 15-30%
-  hypervisor steal noise this box shows under load.
+  each level reports the best of ``trials`` runs, and the trials are
+  interleaved round-robin across levels: the host's delivered
+  performance drifts over tens of minutes (co-tenant load that shows
+  as neither guest steal nor busy — measured up to 2x on this VM
+  class), and sequencing all of N's trials before 4N's folds that
+  drift straight into the efficiency ratio.
 - **Hardware calibration**: a pure-CPU spin loop (no memory, no JVM,
   no I/O) measured at the same core counts bounds what ANY job could
   achieve on this VM. Measured here: the hypervisor delivers only
@@ -205,11 +209,26 @@ def main() -> None:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         materialize_input(convs, path)
 
-    results = {}
+    # Trials are INTERLEAVED across levels (2,8,32 / 2,8,32 / ...):
+    # the host's delivered performance drifts over tens of minutes
+    # (co-tenant load that never shows up as guest steal — measured
+    # up to 2x on this VM class), and running all of level N's trials
+    # before level 4N's biases the efficiency ratio by whatever the
+    # box did in between. Round-robin puts every level's k-th trial
+    # in the same host window; best-of-trials per level then compares
+    # like windows. Each trial is still a fresh taskset'd JVM with its
+    # own warm-up.
+    results: dict[int, dict] = {}
+    trial_log: dict[int, list] = {c: [] for c in levels}
     calib = {}
     for c in levels:
         calib[c] = run_calibration(c)
-        results[c] = run_level(c, trials, path)
+    for _ in range(trials):
+        for c in levels:
+            r = run_level(c, 1, path)
+            trial_log[c].append({"sec": r["sec"], "host_steal_pct": r["host_steal_pct"]})
+            if c not in results or r["sec"] < results[c]["sec"]:
+                results[c] = r
 
     pairs = []
     for lo, hi in zip(levels, levels[1:]):
@@ -230,6 +249,7 @@ def main() -> None:
         "levels": {str(c): results[c] for c in levels},
         "calibration": {str(c): calib[c] for c in levels},
         "pairs": pairs,
+        "trials": {str(c): trial_log[c] for c in levels},
         "convs": convs,
         # headline (the north-rule N→4N criterion): the first measured
         # 4x pair — N=2→8 by default, where the VM can deliver 4x
@@ -244,8 +264,10 @@ def main() -> None:
         "# BENCH — measured KG-construction throughput & scaling\n",
         f"Same pre-materialized parquet transcripts table ({convs} conversations = "
         f"{results[levels[0]]['turns']} turns), same job, CPU-confined parallelism levels\n"
-        f"(taskset to the level's cores; fresh JVM per level; 2 warm-up pipeline runs; "
-        f"best of {trials} trials to damp 15-30% hypervisor steal noise).\n",
+        f"(taskset to the level's cores; fresh JVM per trial; 2 warm-up pipeline runs; "
+        f"{trials} trials INTERLEAVED across levels — round-robin, so slow host windows "
+        f"hit every level equally instead of biasing the ratio — best per level; "
+        f"per-trial log in scaling.json).\n",
         "| config | turns | triples | time (s) | triples/sec | host busy % | steal % |",
         "|---|---|---|---|---|---|---|",
     ]
