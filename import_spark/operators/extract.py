@@ -435,11 +435,18 @@ def _link_token_col(tok, dcid_map: dict):
     )
 
 
-def _jvm_statements(transcripts: DataFrame, dcid_map: dict) -> DataFrame:
+def _jvm_statements(
+    transcripts: DataFrame, dcid_map: dict, narrow_only: bool = False
+) -> DataFrame:
     """The simple anchors as ONE native projection: base per-turn
     statements + mentions (linked inline) + notes + metrics + sees +
     sameAs, concatenated into an array and exploded — a single
-    whole-stage-codegen scan, zero Python."""
+    whole-stage-codegen scan, zero Python.
+
+    ``narrow_only`` keeps just the narrow statement classes this branch
+    produces (sees → UNRESOLVED_REF locals, sameAs edges) — the cheap
+    first pass that feeds the resolver/CC side tables while the fat
+    rows are recomputed by the big fused pass (plans/kg_pipeline.py)."""
     turn = turn_id_col(F.col("conv_id"), F.col("turn_idx"))
     cnode = conv_node_col(F.col("conv_id"))
 
@@ -489,7 +496,10 @@ def _jvm_statements(transcripts: DataFrame, dcid_map: dict) -> DataFrame:
     same_b = F.regexp_extract_all(F.col("text"), F.lit(r"sameAs (\S+) (\S+)"), F.lit(2))
     sames = F.zip_with(same_a, same_b, lambda a, b: s(a, "sameAs", "RESOLVED_REF", b))
 
-    arr = F.concat(base, mentions, notes, metrics, sees, sames)
+    if narrow_only:
+        arr = F.concat(sees, sames)
+    else:
+        arr = F.concat(base, mentions, notes, metrics, sees, sames)
     return transcripts.select(
         "conv_id",
         "turn_idx",
@@ -497,9 +507,18 @@ def _jvm_statements(transcripts: DataFrame, dcid_map: dict) -> DataFrame:
     ).select("conv_id", "turn_idx", "b.kind", "b.subj", "b.pred", "b.obj_type", "b.obj")
 
 
-def _extract_batch_python(pdf: pd.DataFrame, dcid_map: dict) -> pd.DataFrame:
+def _extract_batch_python(
+    pdf: pd.DataFrame, dcid_map: dict, narrow_only: bool = False
+) -> pd.DataFrame:
     """The parse-heavy anchors (define / complex / observe) for the
-    pre-filtered turn subset. ``turn_id`` arrives precomputed (JVM)."""
+    pre-filtered turn subset. ``turn_id`` arrives precomputed (JVM).
+
+    ``narrow_only`` emits just the narrow classes (DEF records, the
+    defines local-ref triple, ERROR rows): the statements still get
+    PARSED (malformed complex values / invalid observations must be
+    classified either way) but the fat result rows — complex-value
+    child triples and the 6-row observation fan-out with its farmhash
+    dc/o/ ids — are skipped; the big fused pass recomputes those."""
     conv = pdf["conv_id"]
     tidx = pdf["turn_idx"]
     text = pdf["text"]
@@ -532,26 +551,27 @@ def _extract_batch_python(pdf: pd.DataFrame, dcid_map: dict) -> pd.DataFrame:
         lut = {v: parse_complex_value(v) for v in vals.unique()}
         parsed = vals.map(lut)
         ok = parsed.notna().values
-        cv = parsed[ok]
-        iok = i[ok]
-        dcids = cv.map(lambda c: c.dcid)
-        pred = cv.map(lambda c: "location" if c.type_of == "GeoCoordinates" else "quantity")
-        emit(iok, turn_id.loc[iok], pred, "RESOLVED_REF", dcids)
-        emit(iok, dcids, "typeOf", "RESOLVED_REF", cv.map(lambda c: c.type_of))
-        emit(iok, dcids, "name", "TEXT", cv.map(lambda c: c.name))
-        for k in range(3):
-            mask = cv.map(lambda c, _k=k: len(c.pvs) > _k)
-            sub = cv[mask]
-            if not len(sub):
-                continue
-            isub = iok[mask.values]
-            emit(
-                isub,
-                sub.map(lambda c: c.dcid),
-                sub.map(lambda c, _k=k: c.pvs[_k][0]),
-                sub.map(lambda c, _k=k: c.pvs[_k][1]),
-                sub.map(lambda c, _k=k: c.pvs[_k][2]),
-            )
+        if not narrow_only:
+            cv = parsed[ok]
+            iok = i[ok]
+            dcids = cv.map(lambda c: c.dcid)
+            pred = cv.map(lambda c: "location" if c.type_of == "GeoCoordinates" else "quantity")
+            emit(iok, turn_id.loc[iok], pred, "RESOLVED_REF", dcids)
+            emit(iok, dcids, "typeOf", "RESOLVED_REF", cv.map(lambda c: c.type_of))
+            emit(iok, dcids, "name", "TEXT", cv.map(lambda c: c.name))
+            for k in range(3):
+                mask = cv.map(lambda c, _k=k: len(c.pvs) > _k)
+                sub = cv[mask]
+                if not len(sub):
+                    continue
+                isub = iok[mask.values]
+                emit(
+                    isub,
+                    sub.map(lambda c: c.dcid),
+                    sub.map(lambda c, _k=k: c.pvs[_k][0]),
+                    sub.map(lambda c, _k=k: c.pvs[_k][1]),
+                    sub.map(lambda c, _k=k: c.pvs[_k][2]),
+                )
         bad = ~ok
         if bad.any():
             ibad = i[bad]
@@ -594,7 +614,7 @@ def _extract_batch_python(pdf: pd.DataFrame, dcid_map: dict) -> pd.DataFrame:
             cnt[~val_ok[~good]] = "Sanity_NonDoubleObsValue"
             emit(ibad, turn_id.loc[ibad], cnt, "TEXT", (date + "=" + val)[~good], kind="ERROR")
         ig = i[good]
-        if len(ig):
+        if len(ig) and not narrow_only:
             pg, vg, dg, vvg, ug = (s[good].reset_index(drop=True) for s in (place, var, date, val, unit))
             keys = (
                 "observationAbout=" + pg
@@ -635,17 +655,33 @@ def _extract_batch_python(pdf: pd.DataFrame, dcid_map: dict) -> pd.DataFrame:
     return out[OUT_COLS]
 
 
-def extract_and_link(transcripts: DataFrame, dcid_map: dict) -> DataFrame:
+_NARROW_JVM = r"see l:E|sameAs "
+
+
+def extract_and_link(
+    transcripts: DataFrame, dcid_map: dict, narrow_only: bool = False
+) -> DataFrame:
     """Fused extract+link; output semantics identical to
     ``link_statements(extract_statements(df), dict_df)`` minus the
     (internal) ext columns. Simple anchors run JVM-side; only the
-    DEFINE/complex/observe turn subset crosses Arrow."""
-    jvm = _jvm_statements(transcripts, dcid_map)
+    DEFINE/complex/observe turn subset crosses Arrow.
+
+    ``narrow_only=True`` returns exactly the narrow statement classes
+    (DEF / ERROR / sameAs / UNRESOLVED_REF locals) — the same rows the
+    full output yields for those classes, via the same code paths —
+    with the fat-row work elided and the JVM branch pre-filtered to
+    the see/sameAs turn subset."""
+    src = (
+        transcripts.filter(F.col("text").rlike(_NARROW_JVM))
+        if narrow_only
+        else transcripts
+    )
+    jvm = _jvm_statements(src, dcid_map, narrow_only=narrow_only)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _extract_batch_python(pdf, dcid_map)
+                yield _extract_batch_python(pdf, dcid_map, narrow_only=narrow_only)
 
     py_in = transcripts.filter(F.col("text").rlike(_PY_NEEDED)).select(
         "conv_id",

@@ -10,18 +10,22 @@ GraphIngestionPipeline.java:44-113 + Processor.java:59-147):
 5. canonicalize— sameAs connected components, min-dcid rewrite
 6. merge       — single-shuffle dedupe, subject-hash layout, write
 
-Pass discipline (what makes this scale): the extracted+linked statement
-set is materialized ONCE — as a class-partitioned zstd-parquet snapshot
-(the in-sandbox stand-in for an Iceberg stage table) when a
-checkpoint_dir requests cross-process resumability, else as a
-compressed columnar in-memory cache clustered by statement class
-(same single-execution guarantee, no encode+decode round-trip of the
-statement table). Every later consumer is a column-pruned AND
-row-class-pruned scan of that materialization (see `_with_cls`): the
-fat plain-triple rows (~95%) are read by exactly one pass — the fused
-resolve+canonicalize+dedupe+write. The big table is shuffled exactly
-once (dedupe) and the final row count comes from parquet metadata,
-not a recount.
+Pass discipline (what makes this scale): only the NARROW statement
+classes (DEF/ERROR/sameAs/local-ref — ~5% of rows) are materialized;
+the fat plain-triple rows (~95%) are never stored. Their single
+consumer — the fused resolve+canonicalize+dedupe+write pass —
+re-runs the extraction scan streaming straight into the dedupe
+shuffle. Extraction is a narrow, deterministic, whole-stage-codegen'd
+pass (simple anchors never leave the JVM), so the recompute costs CPU
+that scales with cores, where caching the statement table costs a
+columnar write+read of ~20x the bytes — pure memory bandwidth, which
+a single box does NOT scale with cores and a 100 TB run could not
+hold at all. With a checkpoint_dir the extract+link output IS
+materialized once, as a class-partitioned zstd-parquet snapshot (the
+in-sandbox stand-in for an Iceberg stage table) for cross-process
+resumability; narrow passes then read only their tiny partitions.
+Either way the big table is shuffled exactly once (dedupe) and the
+final row count comes from parquet metadata, not a recount.
 
 Every stage records counters into a metrics list
 (``(run_id, stage, counter, value)`` — the LogWrapper counter model,
@@ -145,16 +149,13 @@ def run_pipeline(
     din = text_digest(transcripts) if verify_text_invariant else 0
     m.add("scan", "text_digest", din)
 
-    # 2-3. extract + link: one fused Python stage + broadcast join,
-    # materialized ONCE. With a checkpoint_dir the snapshot is a
-    # class-partitioned parquet table (resumable across processes:
-    # the DEF/ERROR/sameAs/local scans touch only their tiny
-    # partitions); without one, an in-memory columnar cache sorted by
-    # class within partitions (batch-stat pruning gives the same
-    # narrow-pass skipping) — same single-execution guarantee minus
-    # a full zstd encode+decode round-trip of the statement table
-    # (which is pure memory/disk bandwidth, the one resource a single
-    # box cannot scale).
+    # 2-3. extract + link: fused JVM projection + Python stage for the
+    # parse-heavy turn subset (operators/extract.py). With a
+    # checkpoint_dir the full output is snapshotted once as a
+    # class-partitioned parquet table (resumable across processes;
+    # narrow scans touch only their tiny partitions). Without one,
+    # only the narrow classes are persisted and the fat triples are
+    # recomputed by their single consumer (see module docstring).
     snap = None
     keep = False
     if checkpoint_dir:
@@ -190,24 +191,48 @@ def run_pipeline(
             os.replace(tmp_digest, digest_path)
         linked = spark.read.parquet(snap)
     else:
-        # extract_and_link's output arrives class-clustered (homogeneous
-        # union branches JVM-side, class-argsorted batches Python-side),
-        # so no Spark-side sort is needed before caching: the columnar
-        # cache batches inherit the clustering and `_cls` batch stats
-        # prune the narrow passes.
-        linked = _with_cls(extract_and_link(transcripts, dcid_map_from_df(dcid_dict))).persist()
+        # In-memory mode: persist ONLY the narrow classes (~5% of rows —
+        # DEF/ERROR/sameAs/local; measured 2.6M of 48.6M at 1M convs).
+        # The fat plain-triple rows are NOT cached: their single
+        # consumer (the fused resolve+canonicalize+dedupe+write pass)
+        # re-runs the extraction streaming straight into the dedupe
+        # shuffle. Extraction is a narrow, deterministic, codegen'd
+        # scan (simple anchors never leave the JVM), so recomputing it
+        # costs CPU that scales with cores, while caching 95% of the
+        # statement table costs a full columnar write+read — pure
+        # memory bandwidth, the one resource that does NOT scale with
+        # cores on a box (and at 100 TB the fat intermediate could
+        # never be cached at all; persisting small side-outputs and
+        # recomputing narrow lineage is the only design that survives).
+        dmap = dcid_map_from_df(dcid_dict)
+        full = _with_cls(extract_and_link(transcripts, dmap))
+        linked = None
+        narrow = (
+            _with_cls(extract_and_link(transcripts, dmap, narrow_only=True))
+            .filter(F.col("_cls") >= CLS_LOCAL)
+            .persist()
+        )
 
-    # counters: per-class totals read ONLY the `_cls` column (RLE'd
-    # ints after the class sort), and the ERROR breakdown is a
-    # class-pruned scan — the fat statement batches are never touched.
-    cls_counts = {r["_cls"]: r["count"] for r in linked.groupBy("_cls").count().collect()}
+    # counters. Snapshot mode: per-class totals read ONLY the `_cls`
+    # partition column. In-memory mode: the narrow cache holds classes
+    # 1-4; the fat-triple total is collected for free during the big
+    # pass via an Observation on the recomputed stream (no extra job).
+    obs = None
+    if linked is not None:
+        cls_counts = {r["_cls"]: r["count"] for r in linked.groupBy("_cls").count().collect()}
+        narrow_src = linked
+    else:
+        cls_counts = {r["_cls"]: r["count"] for r in narrow.groupBy("_cls").count().collect()}
+        narrow_src = narrow
     kind_counts: dict[str, int] = {}
     for c, n in cls_counts.items():
         k = _CLS_KIND[c]
         kind_counts[k] = kind_counts.get(k, 0) + n
     for k in sorted(kind_counts):
+        if k == "TRIPLE" and linked is None:
+            continue  # deferred to the Observation on the big pass
         m.add("extract", f"rows_{k.lower()}", kind_counts[k])
-    for r in linked.filter(F.col("_cls") == CLS_ERROR).groupBy("pred").count().collect():
+    for r in narrow_src.filter(F.col("_cls") == CLS_ERROR).groupBy("pred").count().collect():
         m.add("extract", r["pred"], r["count"])
 
     # 4-6. resolve → canonicalize → merge.
@@ -221,12 +246,18 @@ def run_pipeline(
     # to their ~5% classes. The distributed fallback (defs above the
     # gate) keeps the iterative resolver loop.
     n_defs = kind_counts.get("DEF", 0)
-    triples = linked.filter(F.col("_cls") <= CLS_SAMEAS).drop("_cls")
-    same_src = linked.filter(F.col("_cls") == CLS_SAMEAS).drop("_cls")
-    loc_src = linked.filter(F.col("_cls").isin(CLS_LOCAL, CLS_SAMEAS)).drop("_cls")
+    fat_src = linked if linked is not None else full
+    triples = fat_src.filter(F.col("_cls") <= CLS_SAMEAS).drop("_cls")
+    if linked is None:
+        from pyspark.sql import Observation
+
+        obs = Observation("extract")
+        triples = triples.observe(obs, F.count(F.lit(1)).alias("rows_triple"))
+    same_src = narrow_src.filter(F.col("_cls") == CLS_SAMEAS).drop("_cls")
+    loc_src = narrow_src.filter(F.col("_cls").isin(CLS_LOCAL, CLS_SAMEAS)).drop("_cls")
     is_local = F.col("obj_type") == "UNRESOLVED_REF"
     maps = resolve_defs_fast(
-        linked.filter(F.col("_cls") == CLS_DEF).drop("_cls"), approx_defs=n_defs
+        narrow_src.filter(F.col("_cls") == CLS_DEF).drop("_cls"), approx_defs=n_defs
     )
     if maps is not None:
         m.add("resolve", "rounds", 0)
@@ -287,9 +318,25 @@ def run_pipeline(
             .drop("_dc", "_lk")
         )
     else:
+        # distributed fallback (defs above the driver gate): the
+        # iterative resolver consumes the full statement set several
+        # times — materialize it for this path only
+        if linked is None:
+            fallback_src = full.persist()
+        else:
+            fallback_src = linked
         res = resolve_locals(
-            linked.drop("_cls"), num_partitions=num_partitions, approx_defs=n_defs
+            fallback_src.drop("_cls"), num_partitions=num_partitions, approx_defs=n_defs
         )
+        if obs is not None:
+            # the observed recompute stream is not consumed on this
+            # path; count the (now materialized) statements directly
+            obs = None
+            m.add(
+                "extract",
+                "rows_triple",
+                fallback_src.filter(F.col("_cls") <= CLS_SAMEAS).count(),
+            )
         resolved = res.resolved
         failed = res.failed.localCheckpoint()
         m.add("resolve", "rounds", res.rounds)
@@ -358,6 +405,9 @@ def run_pipeline(
             failed, failed_counts = fut_failed.result()
     for r in failed_counts:
         m.add("resolve", r["error"], r["count"])
+    if obs is not None:
+        # collected during the big pass — no extra job
+        m.add("extract", "rows_triple", obs.get["rows_triple"])
     # parquet metadata count (no recompute) when materialized
     m.add("merge", "triples_final", final.count())
 
@@ -383,9 +433,11 @@ def run_pipeline(
             os.path.join(out_dir, "metrics")
         )
     if snap is None:
-        # final is materialized (counted above); release the cache so
+        # final is materialized (counted above); release the caches so
         # repeated in-process runs don't accumulate executor storage
-        linked.unpersist()
+        narrow.unpersist()
+        if maps is None:
+            fallback_src.unpersist()
     elif not keep and os.path.exists(snap):
         shutil.rmtree(snap, ignore_errors=True)
 

@@ -96,3 +96,30 @@ def test_checkpoint_snapshot_class_layout_and_resume(spark, tmp_path):
     t1 = {(r.subj, r.pred, r.obj_type, r.obj) for r in out1.triples.collect()}
     t2 = {(r.subj, r.pred, r.obj_type, r.obj) for r in out2.triples.collect()}
     assert t1 == t2
+
+
+def test_narrow_extraction_parity(spark):
+    """`extract_and_link(narrow_only=True)` must yield exactly the
+    narrow-class subset (DEF/ERROR/sameAs/locals) of the full
+    extraction — the pipeline resolves/quarantines/canonicalizes from
+    the narrow pass while the big pass recomputes the full set, so any
+    divergence silently corrupts resolution."""
+    from pyspark.sql import functions as F
+
+    from import_spark.operators.extract import extract_and_link
+    from import_spark.operators.link import dcid_map_from_df
+    from import_spark.plans.kg_pipeline import CLS_LOCAL, _with_cls
+
+    tr = generate_transcripts(spark, 400).cache()
+    dmap = dcid_map_from_df(dcid_dictionary(spark))
+
+    full_narrow = (
+        _with_cls(extract_and_link(tr, dmap))
+        .filter(F.col("_cls") >= CLS_LOCAL)
+        .drop("_cls")
+    )
+    narrow = _with_cls(extract_and_link(tr, dmap, narrow_only=True)).drop("_cls")
+    a = {tuple(r) for r in full_narrow.collect()}
+    b = {tuple(r) for r in narrow.collect()}
+    assert a == b
+    assert len(a) > 0
