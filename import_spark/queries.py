@@ -1755,3 +1755,102 @@ ORDER BY entity, variable
 
 QUERIES["p11_wide_observations"] = q_p11_wide_observations
 ORACLE_SQL["p11_wide_observations"] = SQL_P11
+
+
+_NAME_QUERIES = ["red bolt", "smallgizmo", "widget", "blue blue bolt", "hot gear", "red boltt"]
+
+
+def q_ngram_name_search(spark, sf):
+    """Ngram fuzzy name search (simple/util/ngram_matcher.py:44-197):
+    word+chargram posting index over part names, IDF-scored ranked
+    lookup for a fixed query batch — including a no-space form
+    (pure chargram match) and a duplicate-word query (multiplicity
+    scoring)."""
+    from import_spark.operators.name_search import (
+        build_name_index,
+        ngram_name_search,
+    )
+
+    names = _t(spark, sf, "part").select(
+        F.col("p_name").alias("key"), F.col("p_partkey").alias("value")
+    )
+    queries = spark.createDataFrame([(q,) for q in _NAME_QUERIES], "query string")
+    idx = build_name_index(names)
+    # 0.5 match fraction (a lookup-config override the reference's
+    # lookup() supports, ngram_matcher.py:98-103): the default 0.8
+    # admits only near-exact keys; 0.5 lets the no-space and typo
+    # queries exercise the chargram posting path
+    out = ngram_name_search(idx, queries, k=5, min_match_fraction=0.5)
+    return out.select(
+        "query",
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        "value",
+        F.col("matches").cast("long").alias("matches"),
+        "score",
+    ).orderBy("query", "rank")
+
+
+SQL_NGRAM_SEARCH = """
+WITH names AS (
+  SELECT p_name AS key, CAST(p_partkey AS VARCHAR) AS value,
+         trim(regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+  FROM part
+),
+qs(query) AS (VALUES ('red bolt'), ('smallgizmo'), ('widget'), ('blue blue bolt'), ('hot gear'), ('red boltt')),
+qn AS (
+  SELECT query,
+         trim(regexp_replace(regexp_replace(lower(query), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS qnorm
+  FROM qs
+),
+npost AS (
+  SELECT key, value, norm,
+         unnest(list_distinct(list_concat(
+           string_split(norm, ' '),
+           [substr(norm, i + 1, 4) FOR i IN range(0, greatest(length(norm) - 4, 0) + 1)]
+         ))) AS ngram
+  FROM names
+),
+post AS (
+  SELECT key, value, ngram, strpos(norm, ngram) - 1 AS pos,
+         count(*) OVER (PARTITION BY ngram) AS df
+  FROM npost
+),
+qlists AS (
+  SELECT query, length(qnorm) AS qlen,
+         list_concat(
+           string_split(qnorm, ' '),
+           list_filter(
+             list_distinct([substr(qnorm, i + 1, 4) FOR i IN range(0, greatest(length(qnorm) - 4, 0) + 1)]),
+             g -> NOT list_contains(string_split(qnorm, ' '), g))
+         ) AS ql
+  FROM qn
+),
+qx AS (SELECT query, qlen, len(ql) AS n_q, unnest(ql) AS ngram FROM qlists),
+qg AS (SELECT query, qlen, n_q, ngram, count(*) AS mult FROM qx GROUP BY ALL),
+cand AS (
+  SELECT qg.query, qg.qlen, qg.n_q, p.key, p.value,
+         sum(qg.mult * 1.0 / p.df) AS idf,
+         CAST(sum(qg.mult) AS BIGINT) AS matches,
+         min(p.pos) AS pos
+  FROM post p JOIN qg USING (ngram)
+  GROUP BY ALL
+),
+scored AS (
+  SELECT query, key, value, matches,
+         round(idf + (qlen - pos) * 10000.0 + matches * 100.0, 4) AS score
+  FROM cand
+  WHERE matches >= greatest(1.0, n_q * 0.5)
+),
+ranked AS (
+  SELECT query,
+         CAST(row_number() OVER (PARTITION BY query ORDER BY score DESC, value, key) AS BIGINT) AS rank,
+         key, value, matches, score
+  FROM scored
+)
+SELECT query, rank, key, value, matches, score FROM ranked
+WHERE rank <= 5 ORDER BY query, rank
+"""
+
+QUERIES["ngram_name_search"] = q_ngram_name_search
+ORACLE_SQL["ngram_name_search"] = SQL_NGRAM_SEARCH
