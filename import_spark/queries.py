@@ -1854,3 +1854,79 @@ WHERE rank <= 5 ORDER BY query, rank
 
 QUERIES["ngram_name_search"] = q_ngram_name_search
 ORACLE_SQL["ngram_name_search"] = SQL_NGRAM_SEARCH
+
+
+def q_j9_obs_entity_type(spark, sf):
+    """J9: observations ⨝ entity-type dimension
+    (place_aggregation_generator.py shape): events as observations
+    about user entities, customer mktsegment as the entity type,
+    broadcast dimension join, per-type rollup. The dimension is
+    truncated to custkey<100 so the left join's miss path (untyped
+    entities) is exercised."""
+    from import_spark.operators.relational import attach_entity_types
+
+    obs = _t(spark, sf, "events").select(
+        F.concat(F.lit("user/"), F.col("user_id")).alias("observationAbout"),
+        F.col("value"),
+    )
+    ent = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            F.concat(F.lit("user/"), F.col("c_custkey")).alias("dcid"),
+            F.col("c_mktsegment").alias("typeOf"),
+        )
+    )
+    joined = attach_entity_types(obs, ent)
+    return (
+        joined.groupBy(F.coalesce("entity_type", F.lit("__untyped__")).alias("entity_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("entity_type")
+    )
+
+
+SQL_J9 = """
+WITH obs AS (
+  SELECT 'user/' || CAST(user_id AS VARCHAR) AS observationAbout, value FROM events
+),
+ent AS (
+  SELECT 'user/' || CAST(c_custkey AS VARCHAR) AS dcid, c_mktsegment AS typeOf
+  FROM customer WHERE c_custkey < 100
+)
+SELECT coalesce(e.typeOf, '__untyped__') AS entity_type,
+       count(*) AS n_obs,
+       round(sum(o.value), 4) AS sum_value
+FROM obs o LEFT JOIN ent e ON o.observationAbout = e.dcid
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_a14_collisions(spark, sf):
+    """A14: content-hash collision counting (DcidGenerator keyString
+    bookkeeping, DcidGenerator.java collision maps): ids whose source
+    key strings differ. A deliberately narrow id (2-hex-char md5
+    prefix, 256 buckets) forces real collisions on the documents
+    table."""
+    from import_spark.operators.relational import id_collisions
+
+    docs = _t(spark, sf, "documents").select(
+        F.substring(F.md5(F.col("text")), 1, 2).alias("id"), F.col("text")
+    )
+    return id_collisions(docs, "id", "text").orderBy("id")
+
+
+SQL_A14 = """
+SELECT substr(md5(text), 1, 2) AS id,
+       count(DISTINCT text) AS n_keys
+FROM documents
+GROUP BY 1 HAVING count(DISTINCT text) > 1
+ORDER BY id
+"""
+
+QUERIES["j9_obs_entity_type"] = q_j9_obs_entity_type
+ORACLE_SQL["j9_obs_entity_type"] = SQL_J9
+QUERIES["a14_collisions"] = q_a14_collisions
+ORACLE_SQL["a14_collisions"] = SQL_A14
