@@ -1930,3 +1930,53 @@ QUERIES["j9_obs_entity_type"] = q_j9_obs_entity_type
 ORACLE_SQL["j9_obs_entity_type"] = SQL_J9
 QUERIES["a14_collisions"] = q_a14_collisions
 ORACLE_SQL["a14_collisions"] = SQL_A14
+
+
+def q_t4_mcf_roundtrip(spark, sf):
+    """S1+T4 end-to-end gate: MCF text synthesized from events is
+    written to disk, re-read with the node-blocked scan
+    (PipelineUtils.java:150-171 record-delimiter semantics), typed-value
+    parsed (McfParser.java:336-437) and flattened to triples
+    (mcf_parser.py:169-240); the oracle computes the expected triple
+    set directly from the base table, so the whole scan→parse→flatten
+    path is value-gated."""
+    import os
+    import tempfile
+
+    from import_spark.sources.mcf import mcf_to_triples, read_mcf
+
+    blocks = _t(spark, sf, "events").select(
+        F.concat(
+            F.lit("Node: e"), F.col("event_id"), F.lit("\n"),
+            F.lit("typeOf: dcs:Event\n"),
+            F.lit('eventType: "'), F.col("event_type"), F.lit('"\n'),
+            F.lit("userRef: l:u"), F.col("user_id"), F.lit("\n"),
+            F.lit("value: "),
+            F.round(F.col("value") * 100).cast("long"),
+            F.lit("\n"),
+        ).alias("value")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="mcf_rt_"), "mcf")
+    blocks.write.mode("overwrite").text(path)
+    return mcf_to_triples(read_mcf(spark, path)).orderBy(
+        "subject_id", "predicate"
+    )
+
+
+SQL_T4 = """
+WITH e AS (
+  SELECT 'e' || CAST(event_id AS VARCHAR) AS subj,
+         event_type,
+         'l:u' || CAST(user_id AS VARCHAR) AS uref,
+         CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) AS val
+  FROM events
+)
+SELECT subj AS subject_id, 'typeOf' AS predicate, 'Event' AS object, 'ID' AS object_kind FROM e
+UNION ALL SELECT subj, 'eventType', event_type, 'VALUE' FROM e
+UNION ALL SELECT subj, 'userRef', uref, 'ID' FROM e
+UNION ALL SELECT subj, 'value', val, 'VALUE' FROM e
+ORDER BY subject_id, predicate
+"""
+
+QUERIES["t4_mcf_roundtrip"] = q_t4_mcf_roundtrip
+ORACLE_SQL["t4_mcf_roundtrip"] = SQL_T4
