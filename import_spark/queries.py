@@ -1980,3 +1980,136 @@ ORDER BY subject_id, predicate
 
 QUERIES["t4_mcf_roundtrip"] = q_t4_mcf_roundtrip
 ORACLE_SQL["t4_mcf_roundtrip"] = SQL_T4
+
+
+def q_s4_tfrecord_roundtrip(spark, sf):
+    """S4 end-to-end gate: event payloads framed as GZIP TFRecords
+    (length+masked-CRC32C framing, PipelineUtils.java:121-141 /
+    TFRecordIO wire format), written and re-read via the
+    binaryFile-splitting scan; the oracle recomputes the payload
+    strings straight from the base table, so the framing codec and
+    scan are value-gated."""
+    import os
+    import tempfile
+
+    from import_spark.sources.tfrecord import read_tfrecords, write_tfrecords
+
+    payloads = _t(spark, sf, "events").select(
+        F.encode(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+            ),
+            "UTF-8",
+        ).alias("payload")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="tfrec_rt_"), "recs")
+    write_tfrecords(payloads, path)
+    return (
+        read_tfrecords(spark, path, verify=True)
+        .select(F.col("payload").cast("string").alias("rec"))
+        .orderBy("rec")
+    )
+
+
+SQL_S4 = """
+SELECT CAST(event_id AS VARCHAR) || '|' || event_type || '|' || CAST(user_id AS VARCHAR) AS rec
+FROM events ORDER BY rec
+"""
+
+
+def q_s5_jsonld_roundtrip(spark, sf):
+    """S5 end-to-end gate: orders rendered as NDJSON JSON-LD nodes
+    (@id/@type/literal properties), written as text and re-read through
+    the JSON-LD scan (jsonld.py — @id namespace strip, @type →
+    typeOf RESOLVED_REF, numeric/text literal typing); the oracle
+    computes the expected long-form rows directly from the base
+    table."""
+    import os
+    import tempfile
+
+    from import_spark.sources.jsonld import read_jsonld
+
+    lines = _t(spark, sf, "orders").select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("dcid:o"), F.col("o_orderkey")).alias("@id"),
+                F.lit("dcs:Order").alias("@type"),
+                F.col("o_orderpriority").alias("priority"),
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            )
+        ).alias("value")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonld_rt_"), "nodes")
+    lines.write.mode("overwrite").text(path)
+    return (
+        read_jsonld(spark, path)
+        .select("node_id", "prop", "value_type", "value")
+        .orderBy("node_id", "prop")
+    )
+
+
+SQL_S5 = """
+WITH o AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS nid,
+         o_orderpriority AS priority,
+         CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR) AS cents
+  FROM orders
+)
+SELECT nid AS node_id, 'typeOf' AS prop, 'RESOLVED_REF' AS value_type, 'Order' AS value FROM o
+UNION ALL SELECT nid, 'priority', 'TEXT', priority FROM o
+UNION ALL SELECT nid, 'cents', 'NUMBER', cents FROM o
+ORDER BY node_id, prop
+"""
+
+
+def q_p2_quote_split(spark, sf):
+    """P2 gate: quote/escape-aware multi-value cell split
+    (StringUtil.java:182-218 SplitStructuredLineWithEscapes): composite
+    cells built from part rows — a quoted token CONTAINING the
+    delimiter, an unquoted numeric token, and a bare word — must split
+    into exactly three values with the quoted comma preserved. The
+    oracle computes the expected (id, pos, val) rows directly from the
+    base table."""
+    import pandas as pd
+
+    from import_spark.functions.values import split_and_strip
+
+    parts = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.concat(
+            F.lit('"'), F.col("p_name"), F.lit(', extra", '),
+            F.col("p_partkey"), F.lit(", bare"),
+        ).alias("cell"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i, cell in zip(pdf["id"], pdf["cell"]):
+                vals = split_and_strip(cell)
+                if vals is not None:
+                    rows.extend((int(i), p, v) for p, v in enumerate(vals))
+            yield pd.DataFrame(rows, columns=["id", "pos", "val"])
+
+    return parts.mapInPandas(gen, schema="id long, pos int, val string").orderBy(
+        "id", "pos"
+    )
+
+
+SQL_P2 = """
+WITH p AS (SELECT p_partkey AS id, p_name FROM part)
+SELECT id, 0 AS pos, p_name || ', extra' AS val FROM p
+UNION ALL SELECT id, 1, CAST(id AS VARCHAR) FROM p
+UNION ALL SELECT id, 2, 'bare' FROM p
+ORDER BY id, pos
+"""
+
+QUERIES["s4_tfrecord_roundtrip"] = q_s4_tfrecord_roundtrip
+ORACLE_SQL["s4_tfrecord_roundtrip"] = SQL_S4
+QUERIES["s5_jsonld_roundtrip"] = q_s5_jsonld_roundtrip
+ORACLE_SQL["s5_jsonld_roundtrip"] = SQL_S5
+QUERIES["p2_quote_split"] = q_p2_quote_split
+ORACLE_SQL["p2_quote_split"] = SQL_P2
