@@ -2113,3 +2113,89 @@ QUERIES["s5_jsonld_roundtrip"] = q_s5_jsonld_roundtrip
 ORACLE_SQL["s5_jsonld_roundtrip"] = SQL_S5
 QUERIES["p2_quote_split"] = q_p2_quote_split
 ORACLE_SQL["p2_quote_split"] = SQL_P2
+
+
+def q_s7_mcf_sink_roundtrip(spark, sf):
+    """S7 gate: long-form nodes from nation serialized to sorted MCF
+    text (McfUtil.java:29-54 semantics — TEXT quoted, RESOLVED_REF
+    dcid:-prefixed per McfUtil.java:184-190) and re-read through the
+    node-blocked scan; value types must survive the roundtrip. Oracle
+    computes the expected rows directly from the base table."""
+    import os
+    import tempfile
+
+    from import_spark.sources.mcf import read_mcf, write_mcf
+
+    n = _t(spark, sf, "nation")
+    nid = F.concat(F.lit("nat"), F.col("n_nationkey"))
+    nodes = (
+        n.select(nid.alias("node_id"), F.lit("name").alias("prop"),
+                 F.lit("TEXT").alias("value_type"), F.col("n_name").alias("value"))
+        .unionByName(
+            n.select(nid.alias("node_id"), F.lit("regionRef").alias("prop"),
+                     F.lit("RESOLVED_REF").alias("value_type"),
+                     F.concat(F.lit("region"), F.col("n_regionkey")).alias("value")))
+        .unionByName(
+            n.select(nid.alias("node_id"), F.lit("ord").alias("prop"),
+                     F.lit("NUMBER").alias("value_type"),
+                     F.col("n_nationkey").cast("string").alias("value")))
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="mcf_sink_"), "out")
+    write_mcf(nodes, path)
+    return (
+        read_mcf(spark, path)
+        .select("node_id", "prop", "value_type", "value")
+        .orderBy("node_id", "prop")
+    )
+
+
+SQL_S7 = """
+WITH n AS (
+  SELECT 'nat' || CAST(n_nationkey AS VARCHAR) AS nid, n_name,
+         'region' || CAST(n_regionkey AS VARCHAR) AS reg,
+         CAST(n_nationkey AS VARCHAR) AS ordv
+  FROM nation
+)
+SELECT nid AS node_id, 'name' AS prop, 'TEXT' AS value_type, n_name AS value FROM n
+UNION ALL SELECT nid, 'regionRef', 'RESOLVED_REF', reg FROM n
+UNION ALL SELECT nid, 'ord', 'NUMBER', ordv FROM n
+ORDER BY node_id, prop
+"""
+
+
+def q_s3_csv_scan(spark, sf):
+    """S3 gate: CSV file scan with header, quoted delimiter and
+    commons-csv backslash escapes in UNQUOTED fields
+    (TmcfCsvParser.java:55-112 withEscape('\\\\')): crafted lines from
+    part rows written as one text file and read back via read_csv;
+    the oracle computes the expected parsed fields directly."""
+    import os
+    import tempfile
+
+    from import_spark.sources.tmcf import read_csv
+
+    rows = _t(spark, sf, "part").select(
+        F.lit(1).alias("k"),
+        F.concat(
+            F.col("p_partkey"), F.lit(',"'), F.col("p_name"),
+            F.lit(', q",pre\\"'), F.col("p_brand"), F.lit('\\"post'),
+        ).alias("value"),
+    )
+    header = spark.createDataFrame([(0, "id,qname,esc")], "k int, value string")
+    lines = header.unionByName(rows).repartition(1).sortWithinPartitions("k", "value")
+    path = os.path.join(tempfile.mkdtemp(prefix="csv_scan_"), "data")
+    lines.select("value").write.mode("overwrite").text(path)
+    return read_csv(spark, path).orderBy(F.col("id").cast("long"))
+
+
+SQL_S3 = """
+SELECT CAST(p_partkey AS VARCHAR) AS id,
+       p_name || ', q' AS qname,
+       'pre"' || p_brand || '"post' AS esc
+FROM part ORDER BY p_partkey
+"""
+
+QUERIES["s7_mcf_sink_roundtrip"] = q_s7_mcf_sink_roundtrip
+ORACLE_SQL["s7_mcf_sink_roundtrip"] = SQL_S7
+QUERIES["s3_csv_scan"] = q_s3_csv_scan
+ORACLE_SQL["s3_csv_scan"] = SQL_S3

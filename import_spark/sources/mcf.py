@@ -142,9 +142,19 @@ def mcf_to_triples(nodes: DataFrame) -> DataFrame:
 def write_mcf(nodes: DataFrame, path: str, sort_output: bool = True) -> None:
     """S7: serialize long-form rows back to MCF text (sorted for
     stability, McfUtil.java:29-54); one part-file per partition."""
-    quoted = F.when(
-        F.col("value_type") == "TEXT", F.concat(F.lit('"'), F.col("value"), F.lit('"'))
-    ).otherwise(F.col("value"))
+    quoted = (
+        F.when(
+            F.col("value_type") == "TEXT",
+            F.concat(F.lit('"'), F.col("value"), F.lit('"')),
+        )
+        # refs serialize with the dcid: prefix (McfUtil.java:184-190) —
+        # without it a write→read roundtrip degrades refs to TEXT
+        .when(
+            F.col("value_type") == "RESOLVED_REF",
+            F.concat(F.lit("dcid:"), F.col("value")),
+        )
+        .otherwise(F.col("value"))
+    )
     lines = nodes.select(
         "node_id",
         "prop",
