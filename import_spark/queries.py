@@ -2199,3 +2199,129 @@ QUERIES["s7_mcf_sink_roundtrip"] = q_s7_mcf_sink_roundtrip
 ORACLE_SQL["s7_mcf_sink_roundtrip"] = SQL_S7
 QUERIES["s3_csv_scan"] = q_s3_csv_scan
 ORACLE_SQL["s3_csv_scan"] = SQL_S3
+
+
+def q_p7_numeric_clean(spark, sf):
+    """P7 gate: numeric-string cleaning (McfMutator.java:90,161-163 —
+    strip spaces/commas/percent before cast) over dirty strings built
+    from orders; the oracle builds the same dirty strings and the
+    expected cleaned/cast output directly."""
+    from import_spark.functions.values import col_clean_numeric
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.concat(
+            F.lit(" "), F.col("o_orderkey"), F.lit(","),
+            F.col("o_custkey"), F.lit(" %"),
+        ).alias("dirty"),
+    )
+    cleaned = col_clean_numeric(F.col("dirty"))
+    return o.select(
+        "id",
+        cleaned.alias("cleaned"),
+        cleaned.cast("double").alias("num"),
+    ).orderBy("id")
+
+
+SQL_P7 = """
+SELECT o_orderkey AS id,
+       CAST(o_orderkey AS VARCHAR) || CAST(o_custkey AS VARCHAR) AS cleaned,
+       CAST(CAST(o_orderkey AS VARCHAR) || CAST(o_custkey AS VARCHAR) AS DOUBLE) AS num
+FROM orders ORDER BY id
+"""
+
+
+def q_p16_literal_compression(spark, sf):
+    """P16 gate: GZIP literal compression roundtrip
+    (PipelineUtils.compressString / GraphReader.java:76-99) over the
+    documents table — decompress(compress(text)) must equal text and
+    the compressed payload must be a real GZIP member (shorter than
+    the UTF-8 input for these docs)."""
+    from import_spark.functions.values import (
+        compress_literals_udf,
+        decompress_literals_udf,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    comp = compress_literals_udf()(F.col("text"))
+    out = d.select(
+        "doc_id",
+        decompress_literals_udf()(comp).alias("text_rt"),
+        # GZIP member magic — proves a real compressed payload was
+        # produced (short docs can legitimately grow under GZIP, so a
+        # size check would not be deterministic)
+        F.hex(comp.substr(1, 2)).alias("gzip_magic"),
+    )
+    return out.orderBy("doc_id")
+
+
+SQL_P16 = """
+SELECT doc_id, text AS text_rt, '1F8B' AS gzip_magic
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_a3_facet_dedup(spark, sf):
+    """A3 gate: facet dedupe (representative-value distinct on the
+    facet key, TimeSeries facet dedup): every non-key column is made
+    functionally dependent on the key so the surviving representative
+    row is deterministic and the whole output is checkable."""
+    from import_spark.operators.series import dedupe_facets
+
+    ts = _t(spark, sf, "events").select(
+        F.col("event_type").alias("measurementMethod"),
+        F.concat(F.lit("u"), (F.col("user_id") % 7)).alias("unit"),
+        F.concat(F.col("event_type"), F.lit("|"), (F.col("user_id") % 7)).alias(
+            "payload"
+        ),
+    )
+    return dedupe_facets(ts, ["measurementMethod", "unit"]).orderBy(
+        "measurementMethod", "unit"
+    )
+
+
+SQL_A3 = """
+SELECT DISTINCT event_type AS measurementMethod,
+       'u' || CAST(user_id % 7 AS VARCHAR) AS unit,
+       event_type || '|' || CAST(user_id % 7 AS VARCHAR) AS payload
+FROM events ORDER BY measurementMethod, unit
+"""
+
+
+def q_t6_provenance_triples(spark, sf):
+    """T6 gate: Provenance rows → typeOf/name/source/url triple
+    synthesis (simple/stats/data.py:193-222) from supplier rows; the
+    oracle unions the expected fixed triples directly."""
+    from import_spark.operators.statvar import provenance_triples
+
+    prov = _t(spark, sf, "supplier").select(
+        F.concat(F.lit("prov/"), F.col("s_suppkey")).alias("id"),
+        F.col("s_name").alias("name"),
+        F.concat(F.lit("src/"), F.col("s_nationkey")).alias("source_id"),
+        F.concat(F.lit("https://ex.org/"), F.col("s_suppkey")).alias("url"),
+    )
+    return provenance_triples(prov).orderBy("subject_id", "predicate")
+
+
+SQL_T6 = """
+WITH s AS (
+  SELECT 'prov/' || CAST(s_suppkey AS VARCHAR) AS sid, s_name,
+         'src/' || CAST(s_nationkey AS VARCHAR) AS src,
+         'https://ex.org/' || CAST(s_suppkey AS VARCHAR) AS u
+  FROM supplier
+)
+SELECT sid AS subject_id, 'typeOf' AS predicate, 'Provenance' AS object_id, NULL AS object_value FROM s
+UNION ALL SELECT sid, 'name', NULL, s_name FROM s
+UNION ALL SELECT sid, 'source', src, NULL FROM s
+UNION ALL SELECT sid, 'url', NULL, u FROM s
+ORDER BY subject_id, predicate
+"""
+
+QUERIES["p7_numeric_clean"] = q_p7_numeric_clean
+ORACLE_SQL["p7_numeric_clean"] = SQL_P7
+QUERIES["p16_literal_compression"] = q_p16_literal_compression
+ORACLE_SQL["p16_literal_compression"] = SQL_P16
+QUERIES["a3_facet_dedup"] = q_a3_facet_dedup
+ORACLE_SQL["a3_facet_dedup"] = SQL_A3
+QUERIES["t6_provenance_triples"] = q_t6_provenance_triples
+ORACLE_SQL["t6_provenance_triples"] = SQL_T6
