@@ -2325,3 +2325,61 @@ QUERIES["a3_facet_dedup"] = q_a3_facet_dedup
 ORACLE_SQL["a3_facet_dedup"] = SQL_A3
 QUERIES["t6_provenance_triples"] = q_t6_provenance_triples
 ORACLE_SQL["t6_provenance_triples"] = SQL_T6
+
+
+def q_a2_optimized_graph_roundtrip(spark, sf):
+    """A2/S8 end-to-end gate: long-form SVObs rows from events are
+    series-grouped, proto-wire encoded (McfStatVarObsSeries /
+    McfOptimizedGraph, Mcf.proto:100-138), framed as GZIP TFRecords,
+    re-read and decoded back to long-form rows (PipelineUtils.java:
+    98-141 / GraphUtils.java:217-277). The oracle computes the
+    expected rows directly from the base table — the series grouping,
+    the hand-rolled proto codec and the TFRecord framing are all
+    value-gated (numbers render as Java Double.toString, hence the
+    '.0' suffix on integral values)."""
+    import os
+    import tempfile
+
+    from import_spark.operators.optimized_graph import (
+        export_optimized_graph,
+        read_optimized_graph,
+    )
+
+    obs = _t(spark, sf, "events").select(
+        F.concat(F.lit("user/"), F.col("user_id")).alias("observation_about"),
+        F.concat(F.lit("var/"), F.col("event_type")).alias("variable_measured"),
+        F.concat(F.lit("u"), F.col("user_id") % 3).alias("unit"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        F.round(F.col("value") * 100).cast("long").cast("string").alias("value"),
+        F.concat(F.lit("obs/"), F.col("event_id")).alias("dcid"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="optg_rt_"), "series")
+    export_optimized_graph(obs, path)
+    return (
+        read_optimized_graph(spark, path)
+        .select(
+            "observation_about",
+            "variable_measured",
+            "unit",
+            "date",
+            "value",
+            "value_number",
+            "dcid",
+        )
+        .orderBy("dcid")
+    )
+
+
+SQL_A2_OPTG = """
+SELECT 'user/' || CAST(user_id AS VARCHAR) AS observation_about,
+       'var/' || event_type AS variable_measured,
+       'u' || CAST(user_id % 3 AS VARCHAR) AS unit,
+       strftime(ts, '%Y-%m-%d') AS date,
+       CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) || '.0' AS value,
+       CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE) AS value_number,
+       'obs/' || CAST(event_id AS VARCHAR) AS dcid
+FROM events ORDER BY dcid
+"""
+
+QUERIES["a2_optimized_graph_roundtrip"] = q_a2_optimized_graph_roundtrip
+ORACLE_SQL["a2_optimized_graph_roundtrip"] = SQL_A2_OPTG
