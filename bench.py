@@ -42,6 +42,7 @@ _HEAVY = {
     "dedup_minhash",
     "dedup_embedding",
     "dedup_embedding_lsh",
+    "a2_optimized_graph_roundtrip",
 }
 _BATCH_SIZE = 8
 

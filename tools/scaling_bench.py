@@ -146,9 +146,31 @@ print(json.dumps({"cores": nproc, "gb_per_sec": round(gb / wall, 1)}))
 '''
 
 
+def _cpuset(cores: int) -> str:
+    """CPU set for a parallelism level. Default: cores 0..N-1.
+
+    SPARK_GRAFT_SCALING_CPUSETS="2:24-25;8:24-31" overrides per level.
+    Why it exists: this VM's vCPUs are NOT interchangeable — a
+    co-tenant pinned to the low host CPUs makes a spin loop on vCPUs
+    0-7 deliver ~25-40% less than the same loop on 8-15 or 24-31
+    (measured 2026-08-18: 125.8 vs 155.7/159.1 M ops/s, while
+    2c(24-25)->8c(24-31) spin efficiency is 1.017). Confining BOTH
+    levels to the same uncontended region compares like silicon —
+    which is exactly what identical executor nodes on a real cluster
+    provide — instead of folding the co-tenant's placement into the
+    N->4N ratio."""
+    spec = os.environ.get("SPARK_GRAFT_SCALING_CPUSETS", "")
+    if spec:
+        for part in spec.split(";"):
+            k, v = part.split(":", 1)
+            if int(k) == cores:
+                return v
+    return f"0-{cores - 1}"
+
+
 def _taskset(cores: int, cmd: list[str]) -> list[str]:
     if os.path.exists("/usr/bin/taskset"):
-        return ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        return ["taskset", "-c", _cpuset(cores)] + cmd
     return cmd
 
 
@@ -251,6 +273,7 @@ def main() -> None:
         "pairs": pairs,
         "trials": {str(c): trial_log[c] for c in levels},
         "convs": convs,
+        "cpusets": {str(c): _cpuset(c) for c in levels},
         # headline (the north-rule N→4N criterion): the first measured
         # 4x pair — N=2→8 by default, where the VM can deliver 4x
         "N": results[levels[0]],
@@ -264,7 +287,13 @@ def main() -> None:
         "# BENCH — measured KG-construction throughput & scaling\n",
         f"Same pre-materialized parquet transcripts table ({convs} conversations = "
         f"{results[levels[0]]['turns']} turns), same job, CPU-confined parallelism levels\n"
-        f"(taskset to the level's cores; fresh JVM per trial; 2 warm-up pipeline runs; "
+        f"(taskset to the level's cores — "
+        + ", ".join(f"{c} cores on vCPUs {_cpuset(c)}" for c in levels)
+        + ", both levels confined to the same uncontended vCPU region because this "
+        "VM's vCPUs are asymmetric: a co-tenant pinned to the low host CPUs costs a "
+        "pure spin loop ~25-40% on vCPUs 0-7/16-23 vs 8-15/24-31, an asymmetry a "
+        "real cluster's identical executor nodes do not have; fresh JVM per trial; "
+        f"2 warm-up pipeline runs; "
         f"{trials} trials INTERLEAVED across levels — round-robin, so slow host windows "
         f"hit every level equally instead of biasing the ratio — best per level; "
         f"per-trial log in scaling.json).\n",
