@@ -279,6 +279,13 @@ def connected_components_fast(
     schema = "node string, canon string"
     if not mapping:
         return spark.createDataFrame([], schema)
-    return spark.createDataFrame(
-        pd.DataFrame(mapping, columns=["node", "canon"]), schema
+    # parquet handoff (see resolve._driver_parquet_handoff): the map is
+    # consumed by a count and a broadcast join; the file IS the
+    # materialization, so the caller pays no localCheckpoint job and
+    # count() resolves from parquet metadata — driver-serial seconds
+    # on the pipeline's critical path
+    from import_spark.operators.resolve import _driver_parquet_handoff
+
+    return _driver_parquet_handoff(
+        spark, pd.DataFrame(mapping, columns=["node", "canon"]), schema
     )

@@ -244,7 +244,7 @@ def _resolve_defs_driver(def_rows) -> tuple[list, list, list]:
     )
 
 
-def _resolve_defs_vectorized(defs_pdf):
+def _resolve_defs_vectorized(defs_pdf, assume_unique: bool = False):
     """Vectorized twin of ``_resolve_defs_driver`` (which remains the
     spec/oracle in tests): chain-walk as pandas merge rounds instead of
     a per-key Python loop — this runs driver-serial, so its wall-clock
@@ -261,7 +261,11 @@ def _resolve_defs_vectorized(defs_pdf):
     """
     import pandas as pd
 
-    d = defs_pdf.drop_duplicates(["conv_id", "subj", "obj_type", "obj"])
+    # callers that deduped in Spark (parallel, scales) skip the
+    # driver-serial pass here
+    d = defs_pdf if assume_unique else defs_pdf.drop_duplicates(
+        ["conv_id", "subj", "obj_type", "obj"]
+    )
     dup = d.duplicated(["conv_id", "subj"], keep=False)
     divergent = d.loc[dup, ["conv_id", "subj"]].drop_duplicates().rename(
         columns={"subj": "key"}
@@ -350,8 +354,10 @@ def resolve_defs_fast(
     # collect GBs when locals carry wide values
     if not fits_bytes(defs_df, approx_defs, DRIVER_COLLECT_BUDGET_BYTES):
         return None
-    defs_pdf = defs_df.toPandas()
-    res_pdf, div_pdf, unres_pdf = _resolve_defs_vectorized(defs_pdf)
+    # exact-dup removal happens in the (parallel) scan, not on the
+    # driver — the fixpoint then skips its serial drop_duplicates pass
+    defs_pdf = defs_df.dropDuplicates().toPandas()
+    res_pdf, div_pdf, unres_pdf = _resolve_defs_vectorized(defs_pdf, assume_unique=True)
 
     def _df(pdf: "pd.DataFrame", cols: list[str], schema: str) -> DataFrame:
         if not len(pdf):

@@ -344,9 +344,12 @@ def run_pipeline(
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
 
-    # 5. canonicalize (sameAs connected components)
+    # 5. canonicalize (sameAs connected components). The fast path
+    # returns a parquet-backed map (already materialized — count() is
+    # metadata-only); only the distributed loop's result needs a
+    # lineage-cutting checkpoint here.
     fast_cc = connected_components_fast(edges)
-    components = (fast_cc if fast_cc is not None else connected_components(edges)).localCheckpoint()
+    components = fast_cc if fast_cc is not None else connected_components(edges).localCheckpoint()
     n_components = components.count()
     m.add("canonicalize", "nodes_rewritten", n_components)
     # reuse the counter for the broadcast row gate; the byte gate

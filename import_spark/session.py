@@ -92,6 +92,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # shuffle/cache/broadcast IO codec: zstd beats the lz4 default
+        # on this text-heavy workload wherever bytes are the wall —
+        # measured 12% faster end-to-end at 8 cores and 3.6% at 2 on
+        # the 1M-conv KG pipeline (same-window A/B pairs); on a real
+        # cluster the shuffle bytes also cross the network, where the
+        # better ratio pays again
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
