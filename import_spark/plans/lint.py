@@ -81,11 +81,12 @@ def run_lint(
 
     # 1. sanity suite — the only stage whose failures count against
     # NumNodeSuccesses (the reference tallies successes at processNodes
-    # time, before StatChecker runs, Processor.java:130-137)
-    sanity_errors = check_nodes(nodes).select(
-        "node_id", "level", "counter", "message"
-    ).localCheckpoint()
-    errors = sanity_errors
+    # time, before StatChecker runs, Processor.java:130-137). Not
+    # materialized here: it flows into the single `errors`
+    # localCheckpoint at the end, and the success tally is recovered
+    # from that one materialization by excluding the StatChecker-time
+    # counter (the only LEVEL_ERROR emitted outside the suite).
+    errors = check_nodes(nodes).select("node_id", "level", "counter", "message")
 
     # 3a. same-LOGICAL-observation value conflicts: key = place x sv x
     # facet x date (SVOBS_VALUE_KEY_PROPS, StatChecker.java:55-63) —
@@ -123,19 +124,21 @@ def run_lint(
     )
 
     key = ["entity", "variable", *FACET_PROPS]
-    obs = (
-        svobs.filter(F.col("value_str").rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"))
-        .select(
-            "node_id",
-            *key,
-            "date",
-            F.col("value_str").cast("double").alias("value"),
-        )
-        .localCheckpoint()
+    obs = svobs.filter(
+        F.col("value_str").rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+    ).select(
+        "node_id",
+        *key,
+        "date",
+        F.col("value_str").cast("double").alias("value"),
     )
     # series checks run on per-(series, date) deduped points like the
-    # reference (StatChecker ingests each unique obs once)
-    pts = obs.dropDuplicates([*key, "date", "value"])
+    # reference (StatChecker ingests each unique obs once). The
+    # checkpoint sits HERE — after the dedup shuffle — because all four
+    # stats passes scan `pts`; materializing pre-dedup `obs` instead
+    # (obs is a cheap filter over the svobs checkpoint) would re-run
+    # the dedup shuffle once per pass.
+    pts = obs.dropDuplicates([*key, "date", "value"]).localCheckpoint()
     warn_parts = [
         sigma_outliers(pts, series_key=key).select(*key, "check"),
         max_fluctuation_per_series(pts, series_key=key).select(*key, "check"),
@@ -209,7 +212,12 @@ def run_lint(
 
     errors = errors.localCheckpoint()
     n_nodes = nodes.select("node_id").distinct().count()
-    n_failed = failed_node_ids(sanity_errors).count()
+    # suite failures only (processNodes-time tally): the lone
+    # LEVEL_ERROR emitted after the tally is the StatChecker's
+    # same-observation conflict, excluded by counter name
+    n_failed = failed_node_ids(
+        errors.filter(F.col("counter") != "Sanity_InconsistentSvObsValues")
+    ).count()
     info = {
         "NumNodesProcessed": n_nodes,
         "NumNodeSuccesses": n_nodes - n_failed,
