@@ -90,16 +90,29 @@ def max_fluctuation_per_series(
     than one distinct value is EXCLUDED entirely (the reference's
     sawtooth guard returns before comparing)."""
     key = series_key or SERIES_KEY
-    sawtooth = (
-        obs.groupBy(*key, "date")
-        .agg(F.countDistinct("value").alias("_nv"))
-        .filter(F.col("_nv") > 1)
-        .select(*key)
-        .dropDuplicates()
-    )
-    pts = obs.dropDuplicates([*key, "date"]).join(sawtooth, key, "left_anti")
+    # One exchange serves the whole cascade: hash-partition by the
+    # series key once, then every step — the per-(key, date) distinct
+    # count, the per-series sawtooth flag, the per-date dedup pick, the
+    # lag window and the final per-series max — is satisfied by that
+    # partitioning (ClusteredDistribution(key, date) accepts
+    # HashPartitioning(key)), needing only within-partition sorts. The
+    # previous shape (distinct-aggregate + dropDuplicates + window)
+    # shuffled the full observation table three times.
+    w_kd = Window.partitionBy(*key, "date")
+    w_k = Window.partitionBy(*key)
     w = Window.partitionBy(*key).orderBy("date")
-    d = pts.withColumn("_prev", F.lag("value").over(w)).filter(F.col("_prev").isNotNull())
+    d = (
+        obs.repartition(*key)
+        .withColumn("_nv", F.size(F.collect_set("value").over(w_kd)))
+        # sawtooth guard (series excluded if ANY date has >1 distinct
+        # value); surviving (key, date) groups are single-valued, so
+        # the row_number pick is value-deterministic
+        .withColumn("_st", F.max((F.col("_nv") > 1).cast("int")).over(w_k))
+        .withColumn("_rn", F.row_number().over(w_kd.orderBy("value")))
+        .filter((F.col("_st") == 0) & (F.col("_rn") == 1))
+        .withColumn("_prev", F.lag("value").over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
     delta = F.when(
         F.col("_prev") == 0, F.col("value") / F.lit(small_number)
     ).otherwise((F.col("value") - F.col("_prev")) / F.abs(F.col("_prev")))

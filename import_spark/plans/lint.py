@@ -58,7 +58,6 @@ def _svobs_table(nodes: DataFrame) -> DataFrame:
             first("variableMeasured").alias("variable"),
             first("observationDate").alias("date"),
             first("value").alias("value_str"),
-            F.countDistinct(F.when(F.col("prop") == "value", F.col("value"))).alias("n_values"),
             *[F.coalesce(first(p), F.lit("")).alias(p) for p in FACET_PROPS],
         )
         .filter(F.col("_type").isin(*SVOBS_TYPES))
