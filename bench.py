@@ -93,12 +93,13 @@ def _child_batch(names: list[str], sf_dir: str, cores: int) -> None:
     from import_spark.queries import QUERIES
 
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
-    # Heavy queries take best-of-2 timed runs: the host's delivered
-    # performance swings up to ~5x over minutes with zero guest steal
-    # (co-tenant DRAM traffic — measured 37.5s vs 7.0s on identical
-    # code/input), and a single sample can land in a bad window. Same
-    # best-of-trials methodology as tools/scaling_bench.py.
-    reps = 2 if len(names) == 1 else 1
+    # Every query takes best-of-2 timed runs: the host's delivered
+    # performance swings up to ~9x over minutes with zero guest steal
+    # (co-tenant DRAM traffic — measured 37.5s vs 7.0s and 13.4s vs
+    # 1.5s on identical code/input), and a single sample can land in a
+    # bad window. Same best-of-trials methodology as
+    # tools/scaling_bench.py.
+    reps = 2
     spark = _fresh_spark(cores)
     timings: dict[str, float] = {}
     for name in names:
