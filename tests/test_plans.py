@@ -73,3 +73,21 @@ def test_cosine_topk_no_corpus_shuffle_before_topk(spark):
     # queries broadcast; the only hash exchange is the final per-query window
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_max_fluctuation_single_exchange(spark):
+    """The fluctuation cascade (distinct-count, sawtooth flag, per-date
+    pick, lag, per-series max) runs on ONE hash exchange of the
+    observation table — ClusteredDistribution(key, date) accepts
+    HashPartitioning(key), so every window/aggregate after the explicit
+    repartition is a within-partition sort, never a reshuffle."""
+    from import_spark.operators.stats import max_fluctuation_per_series
+
+    obs = spark.createDataFrame(
+        [("p1", "v1", "2024-01", 1.0), ("p1", "v1", "2024-02", 99.0)],
+        "entity string, variable string, date string, value double",
+    )
+    plan = _plan(
+        max_fluctuation_per_series(obs, series_key=["entity", "variable"])
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
