@@ -225,10 +225,14 @@ def col_clean_numeric(c):
 
 
 def col_is_number(c):
-    """Column version of P5 (cast-based, mirrors parse-success semantics)."""
-    from pyspark.sql import functions as F
+    """Column version of P5 (cast-based, mirrors parse-success semantics).
 
-    return c.cast("double").isNotNull()
+    try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    THROWS on malformed input — this predicate exists precisely to
+    classify malformed input, so it must be total (found by the
+    hypothesis property test on the empty string).
+    """
+    return c.try_cast("double").isNotNull()
 
 
 def col_is_valid_dcid(c):

@@ -362,7 +362,9 @@ def _build_node_checks():
         ),
         _err(
             is_legacy_obs & (F.col("n_statval") > 0)
-            & F.col("statval.value").cast("double").isNull(),
+            # try_cast: ANSI-mode cast would THROW on the very value this
+            # check exists to flag (McfChecker.java non-double obs value)
+            & F.col("statval.value").try_cast("double").isNull(),
             _reg(LEVEL_ERROR, "Found a non-double Observation value :: value: '%s', property: '%s', node: '%s'"),
             "Sanity_NonDoubleObsValue", F.col("statval.value"), F.col("statval.prop"), nid,
         ),
