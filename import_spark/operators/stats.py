@@ -142,8 +142,11 @@ def date_granularity_issues(
         .filter(F.col("n_granularities") > 1)
         .withColumn("check", F.lit("StatsCheck_Inconsistent_Date_Granularity"))
     )
+    # try_cast, not to_date: ANSI-mode to_date throws on a malformed
+    # date string; an invalid date must simply not contribute a delta
+    # (the reference only ever feeds checker-validated dates here)
     deltas = (
-        obs.select(*key, F.to_date(F.when(F.length("date") == 4, F.concat(F.col("date"), F.lit("-01-01"))).when(F.length("date") == 7, F.concat(F.col("date"), F.lit("-01"))).otherwise(F.col("date"))).alias("_d"), "date")
+        obs.select(*key, F.when(F.length("date") == 4, F.concat(F.col("date"), F.lit("-01-01"))).when(F.length("date") == 7, F.concat(F.col("date"), F.lit("-01"))).otherwise(F.col("date")).try_cast("date").alias("_d"), "date")
         .withColumn("_prev", F.lag("_d").over(Window.partitionBy(*key).orderBy("_d")))
         .filter(F.col("_prev").isNotNull())
         .withColumn("_months", F.round(F.months_between("_d", "_prev"), 0))

@@ -180,3 +180,35 @@ def test_stat_checker_reference_golden(spark):
                     )
                 )
     assert got == want
+
+
+def test_stats_checks_total_on_garbage(spark):
+    """ANSI totality: malformed date strings and zero-base series must
+    classify or drop, never throw (Spark 4 default ANSI mode turns an
+    unguarded to_date/cast/divide into a job-killing exception)."""
+    from import_spark.operators.stats import (
+        date_granularity_issues,
+        fluctuations,
+        max_fluctuation_per_series,
+        sigma_outliers,
+        value_inconsistencies,
+    )
+
+    rows = [
+        ("geoId/99", "Count_X", "not-a-date", 1.0),
+        ("geoId/99", "Count_X", "2020-99", 2.0),
+        ("geoId/99", "Count_X", "2020-01-01", 3.0),
+        # zero base: next point's percent change divides by |prev| = 0
+        ("geoId/77", "Count_Y", "2019", 0.0),
+        ("geoId/77", "Count_Y", "2020", 5.0),
+        ("geoId/77", "Count_Y", "2021", 0.0),
+    ]
+    obs = spark.createDataFrame(rows, ["entity", "variable", "date", "value"])
+    for op in (
+        date_granularity_issues,
+        fluctuations,
+        max_fluctuation_per_series,
+        sigma_outliers,
+        value_inconsistencies,
+    ):
+        op(obs).collect()  # must not raise
