@@ -45,6 +45,7 @@ _HEAVY = {
     "dedup_embedding_lsh",
     "a2_optimized_graph_roundtrip",
     "kg_full_resolution",
+    "kg_streaming",
 }
 _BATCH_SIZE = 8
 

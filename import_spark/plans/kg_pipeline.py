@@ -60,6 +60,7 @@ from import_spark.operators.merge import (
     drop_generic_types,
 )
 from import_spark.operators.resolve import resolve_defs_fast, resolve_locals
+from import_spark.plans.lineage import write_stage_lineage
 
 FINAL_COLS = ["subj", "pred", "obj_type", "obj", "conv_id", "turn_idx"]
 
@@ -144,6 +145,13 @@ def run_pipeline(
     keep_snapshot: bool | None = None,
 ) -> PipelineResult:
     m = _Metrics(run_id)
+    # per-partition lineage lands next to the checkpoint (or, without
+    # one, the output) — one (run_id, stage)-partitioned parquet table
+    lin_dir = (
+        os.path.join(checkpoint_dir or out_dir, "lineage")
+        if (checkpoint_dir or out_dir)
+        else None
+    )
 
     # 1. scan
     din = text_digest(transcripts) if verify_text_invariant else 0
@@ -189,6 +197,9 @@ def run_pipeline(
             with open(tmp_digest, "w") as f:
                 json.dump(cur_digest, f)
             os.replace(tmp_digest, digest_path)
+            if lin_dir:
+                write_stage_lineage(spark, snap, lin_dir, run_id, "link", part_col="_cls")
+                m.add("link", "lineage_written", 1)
         linked = spark.read.parquet(snap)
     else:
         # In-memory mode: persist ONLY the narrow classes (~5% of rows —
@@ -396,6 +407,14 @@ def run_pipeline(
             m.add("merge", "triples_written", 1)
             failed, failed_counts = fut_failed.result()
             m.add("merge", "failed_written", 1)
+        if lin_dir:
+            write_stage_lineage(
+                spark, tri_path, lin_dir, run_id, "merge", part_col="subj_bucket"
+            )
+            failed_path = os.path.join(out_dir, "failed")
+            if os.path.isdir(failed_path):
+                write_stage_lineage(spark, failed_path, lin_dir, run_id, "resolve")
+            m.add("merge", "lineage_written", 1)
         final = spark.read.parquet(tri_path)
     else:
         final = dedupe_triples(

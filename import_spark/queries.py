@@ -486,6 +486,58 @@ def q_kg_full_resolution(spark, sf):
     return res.triples.select("subj", "pred", "obj_type", "obj")
 
 
+def q_kg_streaming(spark, sf):
+    """Structured-Streaming variant of the flagship, gated by the SAME
+    DuckDB triple oracle: the fixture transcripts (split into several
+    files → several micro-batches) are drained by an
+    ``Trigger.AvailableNow`` stream that writes the fused extract+link
+    output in ``run_pipeline``'s checkpoint layout with exactly-once
+    per-batch partitions (streaming/incremental.py:
+    ingest_to_pipeline_snapshot); the batch pipeline then RESUMES from
+    the streamed snapshot (asserted — a silent batch regeneration would
+    un-gate the streaming path) and produces the identical triple set."""
+    import os as _os
+    import tempfile as _tf
+
+    from import_spark.contract_fixtures import ensure_kg_fixtures
+    from import_spark.plans.kg_pipeline import run_pipeline
+    from import_spark.sources.transcripts import dcid_dictionary
+    from import_spark.streaming.incremental import ingest_to_pipeline_snapshot
+
+    base = ensure_kg_fixtures()
+    root = _os.path.join(_tf.gettempdir(), "import_spark_kg_stream_v1")
+    in_dir = _os.path.join(root, "input")
+    ckpt = _os.path.join(root, "ckpt")
+    marker = _os.path.join(in_dir, "_SPLIT_DONE")
+    if not _os.path.exists(marker):
+        import pandas as _pd
+
+        _os.makedirs(in_dir, exist_ok=True)
+        tr_pdf = _pd.read_parquet(_os.path.join(base, "transcripts.parquet"))
+        # deterministic 6-way split by conversation → >1 micro-batch
+        # at maxFilesPerTrigger=2
+        part = tr_pdf["conv_id"].str.split("/").str[1].astype(int) % 6
+        for p in sorted(part.unique()):
+            tr_pdf[part == p].to_parquet(
+                _os.path.join(in_dir, f"part-{p}.parquet"), index=False
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    dcid_dict = dcid_dictionary(spark)
+    ingest_to_pipeline_snapshot(
+        spark, in_dir, ckpt, dcid_dict, run_id="stream", max_files_per_trigger=2
+    )
+    tr = spark.read.parquet(in_dir)
+    res = run_pipeline(
+        spark, tr, dcid_dict, checkpoint_dir=ckpt, run_id="stream",
+        keep_snapshot=True,
+    )
+    assert any(
+        r["counter"] == "resumed_from_checkpoint" for r in res.metrics
+    ), "pipeline must resume from the STREAMED snapshot"
+    return res.triples.select("subj", "pred", "obj_type", "obj")
+
+
 def _build_kg_sql() -> str:
     """DuckDB twin of the full KG pipeline over the fixture transcripts.
 
@@ -700,6 +752,7 @@ QUERIES = {
     "c1_farmhash_ids": q_c1_farmhash_ids,
     "kg_pipeline": q_kg_pipeline,
     "kg_full_resolution": q_kg_full_resolution,
+    "kg_streaming": q_kg_streaming,
 }
 
 ORACLE_SQL = {
@@ -722,6 +775,7 @@ ORACLE_SQL = {
     "p15_object_keys": SQL_P15,
     "kg_pipeline": SQL_KG_PIPELINE,
     "kg_full_resolution": SQL_KG_PIPELINE,
+    "kg_streaming": SQL_KG_PIPELINE,
     # c1_farmhash_ids: intentionally no SQL oracle (no DuckDB farmhash)
 }
 

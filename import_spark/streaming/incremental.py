@@ -13,14 +13,25 @@ ingest idempotent across restarts).
 Downstream stages (resolve/canonicalize/merge) remain batch jobs over
 the snapshot: local-ref resolution is conversation-local, so appending
 whole conversations never invalidates previously resolved ones.
+
+``ingest_to_pipeline_snapshot`` is the production-shaped variant: it
+writes the FUSED extract+link output in ``run_pipeline``'s own
+checkpoint layout (class-partitioned, digest success marker,
+per-partition lineage), so the batch pipeline RESUMES from the
+streamed snapshot and the whole streaming path is gated by the same
+end-to-end triple oracle as the batch path (queries.kg_streaming).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import json
+import os
 
-from import_spark.operators.extract import extract_statements
-from import_spark.operators.link import link_statements
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from import_spark.operators.extract import extract_and_link, extract_statements
+from import_spark.operators.link import dcid_map_from_df, link_statements
 from import_spark.sources.transcripts import TRANSCRIPT_SCHEMA
 
 
@@ -52,4 +63,91 @@ def ingest_available_now(
         .start()
     )
     q.awaitTermination()
+    return n_batches["n"]
+
+
+def ingest_to_pipeline_snapshot(
+    spark: SparkSession,
+    transcripts_dir: str,
+    checkpoint_dir: str,
+    dcid_dict,
+    run_id: str = "run0",
+    max_files_per_trigger: int = 8,
+    compute_text_digest: bool = True,
+) -> int:
+    """Stream the transcripts directory into ``run_pipeline``'s own
+    extract+link snapshot, exactly-once.
+
+    Each micro-batch runs the fused JVM+Arrow extract+link and lands as
+    its own ``(_b=batch_id, _cls=class)`` partition via dynamic
+    partition overwrite — a retried batch REPLACES its partitions
+    instead of appending duplicates, which with the checkpointed source
+    offsets gives exactly-once even across a crash mid-write (the
+    idempotent-unit pattern of the reference's Spanner
+    delete-before-write, SpannerClient.java:92-137). After the drain,
+    the input/dict digest marker is renamed into place — the same
+    success contract ``run_pipeline`` checks before resuming — and the
+    snapshot's per-partition lineage is recorded. A subsequent
+    ``run_pipeline(..., checkpoint_dir=...)`` then resumes past
+    extract+link FROM THE STREAMED SNAPSHOT and runs the batch
+    resolve → canonicalize → merge stages over it.
+
+    Returns the number of micro-batches processed this invocation
+    (0 when the source offsets say everything was already ingested).
+    """
+    from import_spark.plans.kg_pipeline import _with_cls, text_digest
+    from import_spark.plans.lineage import write_stage_lineage
+
+    snap = os.path.join(checkpoint_dir, run_id, "linked")
+    offsets = os.path.join(checkpoint_dir, run_id, "stream_offsets")
+    dmap = dcid_map_from_df(dcid_dict)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(transcripts_dir)
+    )
+    n_batches = {"n": 0}
+
+    def process(batch_df, batch_id: int) -> None:
+        out = _with_cls(extract_and_link(batch_df, dmap)).withColumn(
+            "_b", F.lit(batch_id)
+        )
+        out.write.mode("overwrite").partitionBy("_b", "_cls").parquet(snap)
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", offsets)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # success marker in run_pipeline's resume format: digests of the
+    # FULL drained input + the dictionary (computed batch-side; any
+    # divergence between what streamed in and what the marker claims
+    # makes the resume check regenerate rather than trust the snapshot)
+    # ``compute_text_digest`` must mirror the downstream run_pipeline
+    # call's ``verify_text_invariant`` (which records 0 when skipped),
+    # or the resume check will regenerate instead of trusting the
+    # streamed snapshot
+    tr = spark.read.parquet(transcripts_dir)
+    digest = {
+        "text_digest": text_digest(tr) if compute_text_digest else 0,
+        "dict_digest": (
+            dcid_dict.select(
+                F.bit_xor(F.xxhash64(*dcid_dict.columns)).alias("d")
+            ).collect()[0]["d"]
+            or 0
+        ),
+    }
+    digest_path = os.path.join(snap, "_input_digest.json")
+    tmp = digest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(digest, f)
+    os.replace(tmp, digest_path)
+    write_stage_lineage(
+        spark, snap, os.path.join(checkpoint_dir, "lineage"), run_id, "link",
+        part_col="_cls",
+    )
     return n_batches["n"]

@@ -98,6 +98,53 @@ def test_checkpoint_snapshot_class_layout_and_resume(spark, tmp_path):
     assert t1 == t2
 
 
+def test_per_partition_lineage(spark, tmp_path):
+    """Each materialized stage writes per-partition lineage (north rule:
+    per-partition lineage + counters to a checkpoint table): one row per
+    physical file with row count and conv_id span; file-level row counts
+    must sum to the stage's table counts; re-runs replace (not
+    duplicate) their own (run_id, stage) partitions."""
+    import os
+
+    from import_spark.plans.lineage import read_lineage
+
+    tr = generate_transcripts(spark, 120).cache()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    res = run_pipeline(
+        spark, tr, dcid_dictionary(spark), out_dir=out, checkpoint_dir=ckpt,
+        keep_snapshot=True,
+    )
+    lin = read_lineage(spark, os.path.join(ckpt, "lineage"))
+    assert lin is not None
+    rows = lin.collect()
+    stages = {r["stage"] for r in rows}
+    assert {"link", "merge", "resolve"} <= stages
+    # per-stage file row counts reconcile with the tables themselves
+    snap_n = spark.read.parquet(os.path.join(ckpt, "run0", "linked")).count()
+    tri_n = res.triples.count()
+    fail_n = res.failed.count()
+    by_stage = {}
+    for r in rows:
+        by_stage[r["stage"]] = by_stage.get(r["stage"], 0) + r["rows"]
+    assert by_stage["link"] == snap_n
+    assert by_stage["merge"] == tri_n
+    assert by_stage["resolve"] == fail_n
+    # every file row carries a conv_id span and its partition label
+    link_rows = [r for r in rows if r["stage"] == "link"]
+    assert all(r["file"] and r["conv_id_min"] <= r["conv_id_max"] for r in link_rows)
+    assert {r["part"] for r in link_rows} >= {"0", "3"}  # fat + DEF classes
+    # idempotent per (run_id, stage): a resumed re-run must not duplicate
+    run_pipeline(
+        spark, tr, dcid_dictionary(spark), out_dir=out, checkpoint_dir=ckpt,
+        keep_snapshot=True,
+    )
+    lin2 = read_lineage(spark, os.path.join(ckpt, "lineage")).collect()
+    by_stage2 = {}
+    for r in lin2:
+        by_stage2[r["stage"]] = by_stage2.get(r["stage"], 0) + r["rows"]
+    assert by_stage2["merge"] == tri_n and by_stage2["link"] == snap_n
+
+
 def test_narrow_extraction_parity(spark):
     """`extract_and_link(narrow_only=True)` must yield exactly the
     narrow-class subset (DEF/ERROR/sameAs/locals) of the full

@@ -43,6 +43,42 @@ def test_windowed_turn_counts(spark, tmp_path):
     assert all(r.n_turns > 0 and r.window_end > r.window_start for r in got)
 
 
+def test_ingest_to_pipeline_snapshot(spark, tmp_path):
+    """Streaming ingest writes run_pipeline's snapshot layout: the
+    batch pipeline resumes from it and emits the SAME triples as a
+    pure-batch run; a second drain ingests 0 new batches (exactly-once
+    offsets) and the snapshot is unchanged."""
+    from import_spark.plans.kg_pipeline import run_pipeline
+    from import_spark.sources.transcripts import dcid_dictionary
+    from import_spark.streaming.incremental import ingest_to_pipeline_snapshot
+
+    tdir = str(tmp_path / "in")
+    # several files → several micro-batches at maxFilesPerTrigger=1
+    generate_transcripts(spark, 60).repartition(4).write.mode("overwrite").parquet(tdir)
+    ckpt = str(tmp_path / "ckpt")
+    d = dcid_dictionary(spark)
+    n1 = ingest_to_pipeline_snapshot(
+        spark, tdir, ckpt, d, run_id="s", max_files_per_trigger=1
+    )
+    assert n1 >= 2, "expected multiple micro-batches"
+    tr = spark.read.parquet(tdir)
+    res = run_pipeline(spark, tr, d, checkpoint_dir=ckpt, run_id="s", keep_snapshot=True)
+    assert any(r["counter"] == "resumed_from_checkpoint" for r in res.metrics)
+    got = {(r.subj, r.pred, r.obj_type, r.obj) for r in res.triples.collect()}
+
+    batch = run_pipeline(spark, tr, d)
+    want = {(r.subj, r.pred, r.obj_type, r.obj) for r in batch.triples.collect()}
+    assert got == want
+
+    # exactly-once: a re-drain sees no new files and adds nothing
+    n2 = ingest_to_pipeline_snapshot(
+        spark, tdir, ckpt, d, run_id="s", max_files_per_trigger=1
+    )
+    assert n2 == 0
+    res2 = run_pipeline(spark, tr, d, checkpoint_dir=ckpt, run_id="s", keep_snapshot=True)
+    assert {(r.subj, r.pred, r.obj_type, r.obj) for r in res2.triples.collect()} == want
+
+
 def test_conversation_session_state(spark, tmp_path):
     stream, tdir = _stream_dir(spark, tmp_path)
     sess = conversation_session_state(stream)

@@ -34,7 +34,16 @@ def main() -> None:
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--synth-convs", type=int, help="generate a synthetic input instead of --input")
     p.add_argument("--skip-text-invariant", action="store_true")
+    p.add_argument(
+        "--stream-ingest",
+        action="store_true",
+        help="drain --input via Structured Streaming (Trigger.AvailableNow, "
+        "exactly-once) into the extract+link snapshot before the batch "
+        "stages resume from it; requires --checkpoint",
+    )
     args = p.parse_args()
+    if args.stream_ingest and not (args.checkpoint and args.input):
+        p.error("--stream-ingest requires --checkpoint and --input")
 
     from import_spark.plans.kg_pipeline import run_pipeline
     from import_spark.session import get_spark
@@ -50,6 +59,14 @@ def main() -> None:
     dcid_dict = (
         spark.read.parquet(args.dict_path) if args.dict_path else dcid_dictionary(spark)
     )
+    if args.stream_ingest:
+        from import_spark.streaming.incremental import ingest_to_pipeline_snapshot
+
+        n = ingest_to_pipeline_snapshot(
+            spark, args.input, args.checkpoint, dcid_dict, run_id=args.run_id,
+            compute_text_digest=not args.skip_text_invariant,
+        )
+        print(json.dumps({"stream_micro_batches": n}))
     res = run_pipeline(
         spark,
         transcripts,
