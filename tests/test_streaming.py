@@ -79,6 +79,49 @@ def test_ingest_to_pipeline_snapshot(spark, tmp_path):
     assert {(r.subj, r.pred, r.obj_type, r.obj) for r in res2.triples.collect()} == want
 
 
+def test_incremental_growth(spark, tmp_path):
+    """The point of streaming ingest: NEW conversation files landing in
+    the directory are drained as new micro-batches (old offsets
+    untouched), the digest marker is refreshed, and the batch stages
+    resume from the GROWN snapshot — matching a from-scratch batch run
+    over the full input."""
+    from import_spark.plans.kg_pipeline import run_pipeline
+    from import_spark.sources.transcripts import dcid_dictionary
+    from import_spark.streaming.incremental import ingest_to_pipeline_snapshot
+
+    tdir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    d = dcid_dictionary(spark)
+    all_tr = generate_transcripts(spark, 60).cache()
+    first = all_tr.filter("conv_id < 'conv/0000000040'")
+    rest = all_tr.filter("conv_id >= 'conv/0000000040'")
+    first.coalesce(1).write.mode("overwrite").parquet(tdir)
+    n1 = ingest_to_pipeline_snapshot(spark, tdir, ckpt, d, run_id="g")
+    assert n1 >= 1
+    res1 = run_pipeline(
+        spark, spark.read.parquet(tdir), d, checkpoint_dir=ckpt, run_id="g",
+        keep_snapshot=True,
+    )
+    n_triples_1 = res1.triples.count()
+
+    # 20 more conversations land as new files
+    rest.coalesce(1).write.mode("append").parquet(tdir)
+    n2 = ingest_to_pipeline_snapshot(spark, tdir, ckpt, d, run_id="g")
+    assert n2 >= 1, "new files must form new micro-batches"
+    res2 = run_pipeline(
+        spark, spark.read.parquet(tdir), d, checkpoint_dir=ckpt, run_id="g",
+        keep_snapshot=True,
+    )
+    assert any(r["counter"] == "resumed_from_checkpoint" for r in res2.metrics)
+    got = {(r.subj, r.pred, r.obj_type, r.obj) for r in res2.triples.collect()}
+    want = {
+        (r.subj, r.pred, r.obj_type, r.obj)
+        for r in run_pipeline(spark, all_tr, d).triples.collect()
+    }
+    assert got == want
+    assert len(got) > n_triples_1
+
+
 def test_conversation_session_state(spark, tmp_path):
     stream, tdir = _stream_dir(spark, tmp_path)
     sess = conversation_session_state(stream)
