@@ -429,6 +429,176 @@ FROM documents
 """
 
 
+def q_p8_complex_values(spark, sf):
+    """P8: complex-value parse → (dcid, name, typeOf)
+    (ComplexValueParser.java:23-344). Eight deterministic shapes built
+    from the events table — unit-first/unit-last quantity, closed/open
+    ranges, numeric and N/S/E/W LatLong (E5 rounding), a dcs: namespace
+    strip, and a malformed case → NULLs — parsed by the REAL operator
+    (functions/complex_values.py); the DuckDB twin re-derives every
+    output from the reference rules in SQL."""
+    import pandas as pd
+
+    from import_spark.functions.complex_values import parse_complex_value
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        (F.col("user_id") % 100).cast("string").alias("a"),
+        (F.col("user_id") % 100 + 5).cast("string").alias("b"),
+        F.concat((F.col("user_id") % 175 - 87).cast("string"), F.lit(".25")).alias("lat"),
+        F.concat((F.col("user_id") % 355 - 177).cast("string"), F.lit(".5")).alias("lng"),
+        (F.col("event_id") % 8).alias("c"),
+    )
+    lat_sfx = F.when(
+        F.col("lat").startswith("-"), F.concat(F.expr("substring(lat, 2)"), F.lit("S"))
+    ).otherwise(F.concat(F.col("lat"), F.lit("N")))
+    lng_sfx = F.when(
+        F.col("lng").startswith("-"), F.concat(F.expr("substring(lng, 2)"), F.lit("W"))
+    ).otherwise(F.concat(F.col("lng"), F.lit("E")))
+    cv = (
+        F.when(F.col("c") == 0, F.format_string("[Years %s]", "a"))
+        .when(F.col("c") == 1, F.format_string("[%s dcs:Years]", "a"))
+        .when(F.col("c") == 2, F.format_string("[Years %s %s]", "a", "b"))
+        .when(F.col("c") == 3, F.format_string("[Years - %s]", "b"))
+        .when(F.col("c") == 4, F.format_string("[Years %s -]", "a"))
+        .when(F.col("c") == 5, F.format_string("[LatLong %s %s]", "lat", "lng"))
+        .when(F.col("c") == 6, F.concat(F.lit("[LatLong "), lat_sfx, F.lit(" "), lng_sfx, F.lit("]")))
+        .otherwise(F.lit("[Years abc]"))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            lut = {v: parse_complex_value(v) for v in pdf["cv"].unique()}
+            cs = pdf["cv"].map(lut)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "cv": pdf["cv"],
+                    "dcid": cs.map(lambda c: c.dcid if c else None),
+                    "name": cs.map(lambda c: c.name if c else None),
+                    "type_of": cs.map(lambda c: c.type_of if c else None),
+                }
+            )
+
+    return e.select("event_id", cv.alias("cv")).mapInPandas(
+        gen, schema="event_id long, cv string, dcid string, name string, type_of string"
+    )
+
+
+SQL_P8 = """
+WITH e AS (
+  SELECT event_id,
+         CAST(user_id % 100 AS VARCHAR) AS a,
+         CAST(user_id % 100 + 5 AS VARCHAR) AS b,
+         CAST(user_id % 175 - 87 AS VARCHAR) || '.25' AS lat,
+         CAST(user_id % 355 - 177 AS VARCHAR) || '.5' AS lng,
+         event_id % 8 AS c
+  FROM events
+),
+built AS (
+  SELECT event_id, c, a, b, lat, lng,
+    CAST(floor(1e5 * CAST(lat AS DOUBLE) + 0.5) AS BIGINT) AS lat_e5,
+    CAST(floor(1e5 * CAST(lng AS DOUBLE) + 0.5) AS BIGINT) AS lng_e5,
+    CASE c
+      WHEN 0 THEN '[Years ' || a || ']'
+      WHEN 1 THEN '[' || a || ' dcs:Years]'
+      WHEN 2 THEN '[Years ' || a || ' ' || b || ']'
+      WHEN 3 THEN '[Years - ' || b || ']'
+      WHEN 4 THEN '[Years ' || a || ' -]'
+      WHEN 5 THEN '[LatLong ' || lat || ' ' || lng || ']'
+      WHEN 6 THEN '[LatLong '
+        || CASE WHEN lat LIKE '-%' THEN substring(lat, 2) || 'S' ELSE lat || 'N' END
+        || ' '
+        || CASE WHEN lng LIKE '-%' THEN substring(lng, 2) || 'W' ELSE lng || 'E' END
+        || ']'
+      ELSE '[Years abc]'
+    END AS cv
+  FROM e
+)
+SELECT event_id, cv,
+  CASE
+    WHEN c IN (0, 1) THEN 'Years' || a
+    WHEN c = 2 THEN 'Years' || a || 'To' || b
+    WHEN c = 3 THEN 'YearsUpto' || b
+    WHEN c = 4 THEN 'Years' || a || 'Onwards'
+    WHEN c IN (5, 6) THEN 'latLong/' || CAST(lat_e5 AS VARCHAR) || '_' || CAST(lng_e5 AS VARCHAR)
+  END AS dcid,
+  CASE
+    WHEN c IN (0, 1) THEN 'Years ' || a
+    WHEN c = 2 THEN 'Years ' || a || ' To ' || b
+    WHEN c = 3 THEN 'Years UpTo ' || b
+    WHEN c = 4 THEN 'Years ' || a || ' Onwards'
+    WHEN c IN (5, 6) THEN printf('%.5f,%.5f', lat_e5 / 1e5, lng_e5 / 1e5)
+  END AS name,
+  CASE
+    WHEN c IN (0, 1) THEN 'Quantity'
+    WHEN c IN (2, 3, 4) THEN 'QuantityRange'
+    WHEN c IN (5, 6) THEN 'GeoCoordinates'
+  END AS type_of
+FROM built
+"""
+
+
+def q_j3_coordinates(spark, sf):
+    """J3: coordinates→place join (CoordinatesResolver.java:35-95) via
+    the REAL operator (link.resolve_coordinates): long-form lat/lng
+    node rows built from events (every 13th latitude malformed → the
+    node drops out), a small coord dimension from every 17th event
+    (first-candidate-wins min dcid), E5-quantized broadcast join with
+    latLong/<e5>_<e5> fallback for misses."""
+    from import_spark.operators.link import resolve_coordinates
+
+    ev = _t(spark, sf, "events")
+    lat_expr = (F.col("user_id") % 179) - 89 + F.lit(0.25)
+    lng_expr = (F.col("event_id") % 359) - 179 + F.lit(0.25)
+    lat_rows = ev.select(
+        F.col("event_id").alias("node_id"),
+        F.lit("latitude").alias("prop"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("bad"))
+        .otherwise(lat_expr.cast("string"))
+        .alias("value"),
+    )
+    lng_rows = ev.select(
+        F.col("event_id").alias("node_id"),
+        F.lit("longitude").alias("prop"),
+        lng_expr.cast("string").alias("value"),
+    )
+    dim = ev.filter(F.col("event_id") % 17 == 0).select(
+        lat_expr.alias("lat"),
+        lng_expr.alias("lng"),
+        F.concat(F.lit("place/"), (F.col("event_id") % 997).cast("string")).alias("dcid"),
+    )
+    return resolve_coordinates(lat_rows.unionByName(lng_rows), dim)
+
+
+SQL_J3 = """
+WITH ev AS (
+  SELECT event_id,
+         (user_id % 179) - 89 + 0.25 AS lat,
+         (event_id % 359) - 179 + 0.25 AS lng
+  FROM events
+),
+keyed AS (
+  SELECT event_id AS node_id,
+         CAST(floor(lat * 1e5 + 0.5) AS BIGINT) AS lk,
+         CAST(floor(lng * 1e5 + 0.5) AS BIGINT) AS gk
+  FROM ev WHERE event_id % 13 <> 0
+),
+dim AS (
+  SELECT CAST(floor(lat * 1e5 + 0.5) AS BIGINT) AS lk,
+         CAST(floor(lng * 1e5 + 0.5) AS BIGINT) AS gk,
+         min('place/' || CAST(event_id % 997 AS VARCHAR)) AS place
+  FROM ev WHERE event_id % 17 = 0
+  GROUP BY 1, 2
+)
+SELECT k.node_id,
+       coalesce(d.place,
+                'latLong/' || CAST(k.lk AS VARCHAR) || '_' || CAST(k.gk AS VARCHAR))
+         AS place_dcid
+FROM keyed k LEFT JOIN dim d USING (lk, gk)
+"""
+
+
 # ---------------- non-SQL-expressible (rows-only check) ----------------
 
 
@@ -749,6 +919,8 @@ QUERIES = {
     "p6_date_buckets": q_p6_date_buckets,
     "p14_dcid_sanity": q_p14_dcid_sanity,
     "p15_object_keys": q_p15_object_keys,
+    "p8_complex_values": q_p8_complex_values,
+    "j3_coordinates": q_j3_coordinates,
     "c1_farmhash_ids": q_c1_farmhash_ids,
     "kg_pipeline": q_kg_pipeline,
     "kg_full_resolution": q_kg_full_resolution,
@@ -773,6 +945,8 @@ ORACLE_SQL = {
     "p6_date_buckets": SQL_P6,
     "p14_dcid_sanity": SQL_P14,
     "p15_object_keys": SQL_P15,
+    "p8_complex_values": SQL_P8,
+    "j3_coordinates": SQL_J3,
     "kg_pipeline": SQL_KG_PIPELINE,
     "kg_full_resolution": SQL_KG_PIPELINE,
     "kg_streaming": SQL_KG_PIPELINE,
