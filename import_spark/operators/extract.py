@@ -385,6 +385,10 @@ FUSED_SCHEMA = T.StructType(
 
 OUT_COLS = ["conv_id", "turn_idx", "kind", "subj", "pred", "obj_type", "obj"]
 
+# JVM token class: under (?U), exactly Python's \S (Unicode White_Space
+# plus U+001C..1F as separators) — see `anchored` for why
+_TOK = r"[^\s\x1c-\x1f]"
+
 # turns that need the Python parser: DEFINE (resolver records), complex
 # values (ComplexValueParser), observations (farmhash dc/o/ ids) — a
 # superset guard for the corresponding _RE_* anchors
@@ -469,13 +473,25 @@ def _jvm_statements(
 
     def anchored(pattern: str, build):
         """regexp_extract_all → one struct per match (multi-match safe,
-        same semantics as the pandas extractall path)."""
+        same semantics as the pandas extractall path).
+
+        Every pattern carries the embedded ``(?U)`` flag
+        (UNICODE_CHARACTER_CLASS): Java's default ``\\S``/``\\d`` are
+        ASCII-only while the Python twin (``re``) is Unicode-aware, so
+        without it a token followed by U+00A0/U+2009/… whitespace is
+        swallowed into the token on the JVM path and the two engines
+        emit different statements (and dictionary links silently miss).
+        With ``(?U)`` both sides tokenize on Unicode White_Space; the
+        sole residual difference is U+001C..1F, which Python deems
+        whitespace and the Unicode property does not — token classes
+        therefore use ``_TOK`` (``[^\\s\\x1c-\\x1f]``), which under
+        ``(?U)`` is character-for-character Python's ``\\S``."""
         return F.transform(
-            F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(1)), build
+            F.regexp_extract_all(F.col("text"), F.lit("(?U)" + pattern), F.lit(1)), build
         )
 
     mentions = anchored(
-        r"we looked at (\S+)",
+        rf"we looked at ({_TOK}+)",
         lambda tok: s(turn, "mentions", "RESOLVED_REF", _link_token_col(tok, dcid_map)),
     )
     notes = anchored(r'note "([^"]*)"', lambda v: s(turn, "says", "TEXT", v))
@@ -483,7 +499,7 @@ def _jvm_statements(
         r"metric is (-?\d+(?:\.\d+)?)", lambda v: s(turn, "value", "NUMBER", v)
     )
     sees = F.transform(
-        F.regexp_extract_all(F.col("text"), F.lit(r"see (l:E\d+)"), F.lit(1)),
+        F.regexp_extract_all(F.col("text"), F.lit(r"(?U)see (l:E\d+)"), F.lit(1)),
         lambda v: F.struct(
             F.lit("TRIPLE").alias("kind"),
             turn.alias("subj"),
@@ -492,8 +508,12 @@ def _jvm_statements(
             v.alias("obj"),
         ),
     )
-    same_a = F.regexp_extract_all(F.col("text"), F.lit(r"sameAs (\S+) (\S+)"), F.lit(1))
-    same_b = F.regexp_extract_all(F.col("text"), F.lit(r"sameAs (\S+) (\S+)"), F.lit(2))
+    same_a = F.regexp_extract_all(
+        F.col("text"), F.lit(rf"(?U)sameAs ({_TOK}+) ({_TOK}+)"), F.lit(1)
+    )
+    same_b = F.regexp_extract_all(
+        F.col("text"), F.lit(rf"(?U)sameAs ({_TOK}+) ({_TOK}+)"), F.lit(2)
+    )
     sames = F.zip_with(same_a, same_b, lambda a, b: s(a, "sameAs", "RESOLVED_REF", b))
 
     if narrow_only:

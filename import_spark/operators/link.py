@@ -110,10 +110,16 @@ def derive_transcript_dictionary(
     set — dimension-sized even at 10^12 turns. ``recon_table``:
     (prop, ext_id, dcid) rows, the in-sandbox Recon API stand-in.
     """
+    # (?U) + _TOK: Unicode-aware tokenization, character-for-character
+    # the Python extraction twin's \S (see extract.py `anchored`) —
+    # without it an id followed by U+00A0-style whitespace collects a
+    # corrupted working-set key
+    from import_spark.operators.extract import _TOK
+
     tok = F.explode(
         F.array(
-            F.regexp_extract("text", r"we looked at (\S+)", 1),
-            F.regexp_extract("text", r"define (l:E\d+) = (\S+)", 2),
+            F.regexp_extract("text", rf"(?U)we looked at ({_TOK}+)", 1),
+            F.regexp_extract("text", rf"(?U)define (l:E\d+) = ({_TOK}+)", 2),
         )
     ).alias("tok")
     parsed = (

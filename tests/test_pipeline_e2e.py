@@ -145,6 +145,45 @@ def test_per_partition_lineage(spark, tmp_path):
     assert by_stage2["merge"] == tri_n and by_stage2["link"] == snap_n
 
 
+def test_unicode_whitespace_parity(spark):
+    """Java regex \\S/\\d are ASCII-only by default while the Python
+    twin (re) is Unicode-aware: a token followed by U+00A0/U+2009/
+    U+3000 whitespace used to be swallowed into the token on the JVM
+    fast path (silently missing dictionary links). The (?U)+_TOK fix
+    makes the two engines tokenize identically — gate it on adversarial
+    text end-to-end: fused == unfused extraction AND the full pipeline
+    still matches the independent pandas oracle."""
+    import pandas as pd
+
+    from import_spark.operators.extract import extract_and_link, extract_statements
+    from import_spark.operators.link import dcid_map_from_df, link_statements
+    from import_spark.oracle import expected_triples, precision_recall
+
+    rows = [
+        ("c1", 0, "user", 'we looked at geoId/06 tail note "a b"', "", None),
+        ("c1", 1, "user", "we looked at iso:US x metric is 5", "", None),
+        ("c1", 2, "user", "sameAs geoId/06　geoId/07 see l:E1", "", None),
+        ("c1", 3, "user", "define l:E1 = wikidataId:Q99 z", "", None),
+        ("c1", 4, "user", "we looked at geoId/08\x1ctail", "", None),
+        ("c1", 5, "user", "metric is 12۳ sameAs a　b", "", None),
+        ("c1", 6, "user", "observe geoId/06 Count 2020  = 7", "", None),
+        ("c2", 0, "user", "we looked at nuts:DE1\x1d metric is -3.5", "tool", None),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    tr = spark.createDataFrame(rows, schema)
+    d = dcid_dictionary(spark)
+    fused = extract_and_link(tr, dcid_map_from_df(d))
+    unfused = link_statements(extract_statements(tr), d).select(*fused.columns)
+    assert {tuple(r) for r in fused.collect()} == {tuple(r) for r in unfused.collect()}
+
+    res = run_pipeline(spark, tr, d, verify_text_invariant=True)
+    got = {(r.subj, r.pred, r.obj_type, r.obj) for r in res.triples.collect()}
+    tr_pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    want, _ = expected_triples(tr_pdf, build_dcid_dictionary())
+    p, r = precision_recall(got, want)
+    assert p == 1.0 and r == 1.0, (sorted(got - want)[:5], sorted(want - got)[:5])
+
+
 def test_narrow_extraction_parity(spark):
     """`extract_and_link(narrow_only=True)` must yield exactly the
     narrow-class subset (DEF/ERROR/sameAs/locals) of the full
