@@ -123,6 +123,57 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), lang_udf(F.col(text_col)).alias("lang_pred"))
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the standard pre-training repetition filter): per document,
+
+    - ``dup_line_frac``  — 1 − distinct/total over non-empty lines
+    - ``top_bigram_frac`` — occurrences of the most frequent token
+      bigram / total bigram occurrences (0.0 when < 2 tokens)
+
+    Zero-shuffle: both signals are pure column projections. The bigram
+    mode comes from ``array_sort`` + one ``aggregate`` fold over the
+    sorted array (longest equal-run), so the whole operator stays in
+    one codegen'd scan — no explode→groupBy per document, which at
+    100 TB would shuffle ~doc_len rows per doc for a per-row answer."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
+    dup_line = F.when(
+        F.size(lines) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    base = df.select(
+        F.col(id_col), dup_line.alias("dup_line_frac"), toks.alias("_toks")
+    )
+    n = F.size("_toks")
+    bigrams = F.transform(
+        F.slice("_toks", 1, F.greatest(n - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at("_toks", i + 2)),
+    )
+    srt = F.array_sort(bigrams)
+    run = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bigram = F.when(n >= 2, run / (n - 1)).otherwise(F.lit(0.0))
+    return base.select(
+        id_col, "dup_line_frac", top_bigram.alias("top_bigram_frac")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint over normalized text (lowercase, strip
     punctuation, collapse whitespace): md5 hex + xxhash64."""

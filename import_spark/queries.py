@@ -1002,6 +1002,46 @@ FROM documents
 """
 
 
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition filter signals (operators/textops.py
+    `repetition_stats`): per-doc duplicate-line fraction + top-bigram
+    occurrence fraction, computed as one zero-shuffle codegen scan
+    (array_sort + aggregate longest-equal-run for the bigram mode);
+    the DuckDB twin recomputes the mode via unnest→groupBy."""
+    from import_spark.operators.textops import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+frac AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) > 0
+              THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+              ELSE 0.0 END AS dup_line_frac,
+         toks
+  FROM base
+),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)]),
+                               s -> s[1] || ' ' || s[2])) AS bg
+  FROM frac WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2),
+tops AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY 1)
+SELECT f.doc_id, f.dup_line_frac,
+       coalesce(CAST(t.mx AS DOUBLE) / t.tot, 0.0) AS top_bigram_frac
+FROM frac f LEFT JOIN tops t USING (doc_id)
+"""
+
+
 def q_sim_cosine_topk(spark, sf):
     """Exact brute-force cosine top-k (operators/similarity.py); query
     set = first 5 vectors, k=10."""
@@ -1263,6 +1303,7 @@ QUERIES.update(
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "multimodal_features": q_multimodal_features,
     }
 )
@@ -1278,6 +1319,7 @@ ORACLE_SQL.update(
         "text_quality": SQL_QUALITY,
         "text_language_id": SQL_LANGUAGE_ID,
         "text_fingerprint": SQL_FINGERPRINT,
+        "text_repetition": SQL_TEXT_REPETITION,
         "multimodal_features": SQL_MULTIMODAL,
     }
 )

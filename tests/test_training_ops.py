@@ -98,6 +98,32 @@ def test_text_ops(docs):
     assert fp[1] == fp[2] and fp[1] != fp[4]
 
 
+def test_repetition_stats(spark):
+    """Gopher repetition signals on handcrafted docs: exact expected
+    fractions for duplicate lines and the top-bigram mode (computed
+    in-array as a sorted longest-equal-run — verify vs hand counts)."""
+    from import_spark.operators.textops import repetition_stats
+
+    rows = [
+        # 4 non-empty lines, 2 distinct -> dup 0.5; toks: a b a b c d
+        # c d -> 7 bigrams, top ("a b" or "c d") occurs 2x -> 2/7
+        (1, "a b\na b\n\nc d\nc d"),
+        (2, "x"),              # single token -> no bigrams -> 0.0
+        (3, ""),               # empty -> both 0.0
+        (4, "u v w u v"),      # bigrams: uv vw wu uv -> top 2/4 = 0.5
+        (5, "one two three"),  # all distinct -> top 1/2 = 0.5, dup 0.0
+        (6, "t t t t"),        # one line -> dup 0.0; t t x3 of 3 -> 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.dup_line_frac, r.top_bigram_frac) for r in repetition_stats(df).collect()}
+    assert got[1] == (0.5, 2 / 7)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.5)
+    assert got[5] == (0.0, 0.5)
+    assert got[6] == (0.0, 1.0)
+
+
 def test_multimodal_plumbing(spark):
     from import_spark.operators.multimodal import extract_features, frame_sample_plan, synth_media
 
