@@ -675,7 +675,22 @@ def q_kg_streaming(spark, sf):
     from import_spark.streaming.incremental import ingest_to_pipeline_snapshot
 
     base = ensure_kg_fixtures()
-    root = _os.path.join(_tf.gettempdir(), "import_spark_kg_stream_v1")
+    # salt the reusable temp root with a digest of the code that shapes
+    # the snapshot: the stream-offset checkpoint outlives the process,
+    # and a snapshot drained by OLD code must not satisfy a NEW code's
+    # oracle run (the digest marker covers the input, not the code)
+    import hashlib as _hl
+
+    import import_spark.operators.extract as _xm
+    import import_spark.operators.link as _lm
+    import import_spark.plans.kg_pipeline as _km
+    import import_spark.streaming.incremental as _im
+
+    code = b"".join(open(m.__file__, "rb").read() for m in (_xm, _lm, _km, _im))
+    root = _os.path.join(
+        _tf.gettempdir(),
+        f"import_spark_kg_stream_{_hl.sha256(code).hexdigest()[:12]}",
+    )
     in_dir = _os.path.join(root, "input")
     ckpt = _os.path.join(root, "ckpt")
     marker = _os.path.join(in_dir, "_SPLIT_DONE")
