@@ -30,7 +30,8 @@ Methodology notes (they matter):
   8→32 pair is reported alongside with its hardware ceiling for
   context.
 
-Writes BENCH/BASELINE.md + BENCH/scaling.json.
+Writes BENCH/BASELINE_last_run.md and merges into BENCH/scaling.json
+(under "last_run"); the curated BENCH/BASELINE.md is hand-maintained.
 
 Env knobs: SPARK_GRAFT_SCALING_CONVS (default 200000),
 SPARK_GRAFT_SCALING_N (sets levels [N, 4N]; default levels 2,8,32),
@@ -343,10 +344,23 @@ def main() -> None:
         "independent oracle = 1.0 (tests/test_pipeline_e2e.py), and the "
         "per-turn text-equality digest matches before/after the run.\n"
     )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # The curated evidence (BENCH/BASELINE.md + the named campaign keys
+    # in scaling.json) is hand-maintained across campaigns — a raw run
+    # must never clobber it. The auto-report goes to *_last_run files;
+    # scaling.json is merged, with this run under "last_run".
+    with open(os.path.join(REPO, "BENCH", "BASELINE_last_run.md"), "w") as f:
         f.write("\n".join(lines))
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    sj = os.path.join(REPO, "BENCH", "scaling.json")
+    merged = {}
+    if os.path.exists(sj):
+        try:
+            with open(sj) as f:
+                merged = json.load(f)
+        except ValueError:
+            merged = {}
+    merged["last_run"] = result
+    with open(sj, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
