@@ -236,3 +236,102 @@ class TestConnectedComponentsProperties:
         got = {(r["node"], r["canon"]) for r in connected_components_star(df).collect()}
         want = set(_union_find_canon(edges).items())
         assert got == want
+
+
+# --------------------------------------------------- extraction engine parity
+
+# fragments that sometimes form grammar anchors and sometimes near-miss
+# them, interleaved with unicode whitespace/digits — the randomized
+# version of test_unicode_whitespace_parity's fixed cases
+_frag = st.sampled_from(
+    [
+        "we looked at ",
+        "sameAs ",
+        "see l:E1 ",
+        "metric is 3.5 ",
+        'note "x y" ',
+        "define l:E2 = iso:US ",
+        "observe geoId/06 Count 2020 = 7 ",
+        "geoId/06 ",
+        "iso:US",
+        "wikidataId:Q99 ",
+        "l:E3",
+        " ",      # NBSP
+        " ",      # thin space
+        "　",      # ideographic space
+        "\x1c",        # Python-whitespace control separator
+        "۳ ",          # unicode digit
+        "plain words ",
+    ]
+)
+_turn_text = st.lists(_frag, min_size=0, max_size=8).map("".join)
+
+
+@pytest.mark.usefixtures("spark")
+class TestExtractionParity:
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(_turn_text, min_size=1, max_size=12))
+    def test_fused_equals_unfused(self, spark, texts):
+        """The fused JVM+Arrow extraction (pipeline hot path) emits
+        exactly the statements of the all-Python path on randomized
+        anchor/near-miss/unicode-whitespace text — the invariant behind
+        the (?U)+_TOK tokenization fix."""
+        from import_spark.operators.extract import extract_and_link, extract_statements
+        from import_spark.operators.link import dcid_map_from_df, link_statements
+        from import_spark.sources.transcripts import dcid_dictionary
+
+        rows = [
+            ("c0", i, "user", t, "", None) for i, t in enumerate(texts)
+        ]
+        tr = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        d = dcid_dictionary(spark)
+        fused = extract_and_link(tr, dcid_map_from_df(d))
+        unfused = link_statements(extract_statements(tr), d).select(*fused.columns)
+        a = sorted(tuple(r) for r in fused.collect())
+        b = sorted(tuple(r) for r in unfused.collect())
+        assert a == b
+
+
+# --------------------------------------------------- repetition stats vs python
+
+_doc_text = st.text(
+    alphabet=string.ascii_lowercase + " \t\n", max_size=80
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestRepetitionProperties:
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(_doc_text, min_size=1, max_size=20))
+    def test_matches_python_reference(self, spark, texts):
+        """repetition_stats' in-array sorted longest-equal-run bigram
+        mode equals a Counter-based pure-Python reference on random
+        whitespace-heavy docs (empty docs, single tokens, all-dup
+        lines all shrink here)."""
+        import math
+        import re
+        from collections import Counter
+
+        from import_spark.operators.textops import repetition_stats
+
+        def ref(text):
+            lines = [ln for ln in text.split("\n") if ln != ""]
+            dup = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
+            toks = [t for t in re.split(r"\s+", text.lower()) if t != ""]
+            if len(toks) < 2:
+                return dup, 0.0
+            bis = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+            return dup, max(Counter(bis).values()) / len(bis)
+
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+        got = {
+            r["doc_id"]: (r["dup_line_frac"], r["top_bigram_frac"])
+            for r in repetition_stats(df).collect()
+        }
+        for i, t in enumerate(texts):
+            dup, top = ref(t)
+            assert math.isclose(got[i][0], dup, rel_tol=1e-12, abs_tol=1e-12), (i, t)
+            assert math.isclose(got[i][1], top, rel_tol=1e-12, abs_tol=1e-12), (i, t)
