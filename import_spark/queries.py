@@ -1868,16 +1868,31 @@ ORDER BY 1, 2
 
 
 def q_sim_ivf_ann(spark, sf):
-    """IVF approximate NN (k-means coarse quantizer, n_probe lists —
-    rows-only: no SQL twin for the quantizer)."""
+    """IVF approximate NN at n_probe < n_centroids, oracle-gated via the
+    planted-twin construction (the sim_lsh_ann precedent): queries are
+    x2-scaled copies of 8 corpus vectors. Scaling by a power of two is
+    IEEE-exact, so the normalized query is bitwise its twin's — the
+    cosine quantizer assigns both to the SAME nearest list, the twin is
+    always inside the probed candidate set even at n_probe=2, and at
+    cosine exactly 1 (organic corpus max < 0.8) it is always rank 1.
+    k=1 therefore has an exact SQL twin while the query still runs the
+    full approximate path (train, assign, probe-limited list join,
+    rerank, windowed top-k); organic recall at n_probe < n_centroids
+    stays a pytest property, and sim_ivf_exact gates the machinery on
+    organic queries."""
     from import_spark.operators.similarity import ivf_ann_topk
 
     emb = _t(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0))
+        .cast("array<float>")
+        .alias("embedding"),
     )
-    return ivf_ann_topk(emb, queries_df, dim=dim, k=10, n_centroids=16, n_probe=4)
+    return ivf_ann_topk(
+        emb, queries_df, dim=dim, k=1, n_centroids=16, n_probe=2
+    ).select("query_id", "vec_id", "rank")
 
 
 def q_sim_ivf_exact(spark, sf):
@@ -1997,6 +2012,8 @@ ORACLE_SQL.update(
         "dedup_embedding_lsh": SQL_DEDUP_EMB_LSH,
         "genmcf_distributed": SQL_GENMCF,
         "sim_ivf_exact": SQL_SIM_TOPK,
+        # planted-twin construction: same exact twin as sim_lsh_ann
+        "sim_ivf_ann": SQL_SIM_LSH_ANN,
     }
 )
 
