@@ -539,6 +539,51 @@ FROM built
 """
 
 
+def q_s10_provenance_overwrite(spark, sf):
+    """S10: delete-before-write per provenance (SpannerClient.java:
+    92-137) by value: write a 3-provenance observation table, re-import
+    provenance prov1 with HALF its rows at doubled values through
+    sinks.overwrite_provenance, read the table back. The final state
+    must show prov0/prov2 untouched and prov1 fully REPLACED (dropped
+    rows gone — dynamic partition overwrite, not append); re-running
+    the query is idempotent, so the oracle is exact."""
+    import os as _os
+    import tempfile as _tf
+
+    from import_spark.sinks import overwrite_provenance
+
+    ev = _t(spark, sf, "events")
+    obs = ev.select(
+        F.col("event_id").alias("obs_id"),
+        F.col("event_type").alias("variable"),
+        F.col("value"),
+        F.concat(F.lit("prov"), (F.col("user_id") % 3).cast("string")).alias("provenance"),
+    )
+    tag = str(sf).strip("/").replace("/", "_")
+    path = _os.path.join(_tf.gettempdir(), f"import_spark_s10_{tag}")
+    obs.write.mode("overwrite").partitionBy("provenance").parquet(path)
+    reimport = (
+        obs.filter((F.col("provenance") == "prov1") & (F.col("obs_id") % 2 == 0))
+        .withColumn("value", F.col("value") * 2)
+        .drop("provenance")
+    )
+    overwrite_provenance(reimport, path, "prov1")
+    return spark.read.parquet(path).select("obs_id", "variable", "value", "provenance")
+
+
+SQL_S10 = """
+WITH obs AS (
+  SELECT event_id AS obs_id, event_type AS variable, value,
+         'prov' || CAST(user_id % 3 AS VARCHAR) AS provenance
+  FROM events
+)
+SELECT obs_id, variable, value, provenance FROM obs WHERE provenance <> 'prov1'
+UNION ALL
+SELECT obs_id, variable, value * 2 AS value, provenance
+FROM obs WHERE provenance = 'prov1' AND obs_id % 2 = 0
+"""
+
+
 def q_j3_coordinates(spark, sf):
     """J3: coordinates→place join (CoordinatesResolver.java:35-95) via
     the REAL operator (link.resolve_coordinates): long-form lat/lng
@@ -936,6 +981,7 @@ QUERIES = {
     "p15_object_keys": q_p15_object_keys,
     "p8_complex_values": q_p8_complex_values,
     "j3_coordinates": q_j3_coordinates,
+    "s10_provenance_overwrite": q_s10_provenance_overwrite,
     "c1_farmhash_ids": q_c1_farmhash_ids,
     "kg_pipeline": q_kg_pipeline,
     "kg_full_resolution": q_kg_full_resolution,
@@ -962,6 +1008,7 @@ ORACLE_SQL = {
     "p15_object_keys": SQL_P15,
     "p8_complex_values": SQL_P8,
     "j3_coordinates": SQL_J3,
+    "s10_provenance_overwrite": SQL_S10,
     "kg_pipeline": SQL_KG_PIPELINE,
     "kg_full_resolution": SQL_KG_PIPELINE,
     "kg_streaming": SQL_KG_PIPELINE,
