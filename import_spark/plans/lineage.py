@@ -76,6 +76,16 @@ def write_stage_lineage(
 ) -> None:
     """Append (idempotently, per (run_id, stage)) the per-file lineage
     of the parquet table at ``table_path`` to ``lineage_dir``."""
+    import shutil
+
+    # dynamic partition overwrite replaces only partitions PRESENT in
+    # the written data — an empty stage (e.g. a re-run with no failed
+    # rows) would leave the previous run's stage partition stale, so
+    # clear it explicitly first
+    shutil.rmtree(
+        os.path.join(lineage_dir, f"run_id={run_id}", f"stage={stage}"),
+        ignore_errors=True,
+    )
     table = spark.read.parquet(table_path)
     (
         partition_lineage(table, part_col, run_id, stage)
