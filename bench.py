@@ -182,6 +182,34 @@ def _run_child(args: list[str]) -> dict:
     raise RuntimeError(f"bench child {args} produced no result line (rc={proc.returncode})")
 
 
+def _host_calibration() -> dict:
+    """Spin + STREAM ceilings at 1 and 4 taskset'd cores (~15s), so every
+    bench JSON carries the host-regime context its absolute numbers live
+    in: this VM's delivered multi-core performance swings up to ~2x over
+    hours with zero guest steal (co-tenant DRAM/CPU traffic). The 4-core
+    spin ratio is the regime fingerprint — ~0.95+ in clean windows, ~0.7
+    in degraded ones (same-code bench measured 449,954 vs 223,458
+    triples/s across one such swing). Ratios < ~0.9 mean the absolute
+    numbers in this file are host-taxed, not a code change."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    try:
+        from scaling_bench import run_calibration
+    except Exception:
+        return {}
+    c1 = run_calibration(1, reps=2)
+    c4 = run_calibration(4, reps=2)
+    return {
+        "spin_mops": {"1c": c1["ops_per_sec"], "4c": c4["ops_per_sec"]},
+        "stream_gbs": {"1c": c1["gb_per_sec"], "4c": c4["gb_per_sec"]},
+        "spin_scaling_1to4": round(c4["ops_per_sec"] / (4 * c1["ops_per_sec"]), 3)
+        if c1["ops_per_sec"]
+        else None,
+        "stream_scaling_1to4": round(c4["gb_per_sec"] / (4 * c1["gb_per_sec"]), 3)
+        if c1["gb_per_sec"]
+        else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -215,6 +243,7 @@ def main() -> None:
     if batch:
         jobs.append(batch)
 
+    calib = _host_calibration()
     timings: dict[str, float] = {}
     for job in jobs:
         timings.update(_run_child(["--batch", ",".join(job)])["timings"])
@@ -236,6 +265,7 @@ def main() -> None:
                 "kg_triples_per_sec": kg["kg_triples_per_sec"],
                 "kg_convs": kg["kg_convs"],
                 "cores": cores,
+                "host_calibration": calib,
             }
         )
     )
