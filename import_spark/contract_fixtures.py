@@ -5,8 +5,9 @@ table (sources/transcripts.py). To let the driver's DuckDB oracle
 check it hash-for-hash, this module materializes — with pure
 pandas/pyarrow, no SparkSession — the exact same table plus two
 farmhash lookup tables (DuckDB has no farmhash; pre-joining the ids
-from a lookup is the same exemption the driver grants c1_farmhash_ids,
-VERDICT r3 next-step 4):
+from a lookup computed by the Guava-bit-parity-gated Python twin is
+the repo's standing farmhash exemption — ``ensure_c1_fixture`` below
+applies the same one to c1_farmhash_ids; VERDICT r3 next-step 4):
 
 - ``transcripts.parquet``  — the 100-conversation input table, byte-
   identical to ``generate_transcripts(spark, 100)`` (content is a pure
@@ -92,3 +93,32 @@ def ensure_kg_fixtures() -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return base
+
+
+def ensure_c1_fixture(sf_dir: str | None = None) -> str:
+    """doc_id → farmhash content-dcid lookup for the c1 oracle.
+
+    Same exemption as the kg fixtures above: DuckDB has no farmhash, so
+    the expected ids are pre-computed by the pure-Python fingerprint64
+    twin (functions/farmhash.py) — itself bit-parity-gated against the
+    JVM Guava ``farmHashFingerprint64`` in tests/test_farmhash.py, so
+    the lookup carries an independent implementation's vouching even
+    though the query's pandas UDF shares the Python port. Returns the
+    parquet path; keyed by doc_id over the driver's sf0.01 view.
+    """
+    from import_spark.functions.farmhash import long_id
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = re.sub(r"[^A-Za-z0-9.]+", "_", os.path.abspath(sf_dir).strip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"import_spark_c1_ids_{tag}.parquet")
+    if os.path.exists(path):
+        return path
+    docs = pd.read_parquet(src, columns=["doc_id", "text"])
+    docs["dcid"] = ["dc/" + long_id(t) for t in docs["text"]]
+    tmp = path + ".tmp"
+    docs[["doc_id", "dcid"]].to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path

@@ -23,8 +23,8 @@ Operator ↔ query map (ids from SURVEY.md §2):
 - P6  date validation                  → q_p6_date_buckets
 - P14 dcid sanity filter               → q_p14_dcid_sanity
 - P15 object-value key (sha256)        → q_p15_object_keys
-- C1  farmhash dcid (no SQL oracle)    → q_c1_farmhash_ids
-- O1/KG end-to-end (no SQL oracle)     → q_kg_pipeline
+- C1  farmhash dcid (fixture lookup)   → q_c1_farmhash_ids
+- O1/KG end-to-end (fixture oracle)    → q_kg_pipeline
 """
 
 from __future__ import annotations
@@ -649,7 +649,10 @@ FROM keyed k LEFT JOIN dim d USING (lk, gk)
 
 def q_c1_farmhash_ids(spark, sf):
     """C1: farmhash64→base32 dcid assignment as a vectorized pandas UDF
-    (DcidGenerator.java:354-375). No DuckDB farmhash → rows-only check."""
+    (DcidGenerator.java:354-375). DuckDB has no farmhash, so the oracle
+    (SQL_C1) joins ids from a fixture lookup pre-computed by the
+    pure-Python fingerprint64 twin — bit-parity-gated against JVM Guava
+    in tests/test_farmhash.py (contract_fixtures.ensure_c1_fixture)."""
     from import_spark.functions.udfs import farmhash_dcid
 
     return _t(spark, sf, "documents").select("doc_id", farmhash_dcid("text").alias("dcid"))
@@ -961,6 +964,24 @@ WHERE NOT (pred = 'sameAs' AND subj = obj)
 SQL_KG_PIPELINE = _build_kg_sql()
 
 
+def _build_c1_sql() -> str:
+    """C1 oracle: join the ``documents`` view to the fixture id lookup
+    (the farmhash exemption — contract_fixtures.ensure_c1_fixture). The
+    join keeps the oracle anchored to the driver's actual input: a
+    doc_id outside the fixture drops the row and fails the row-count
+    check instead of silently vouching for it."""
+    from import_spark.contract_fixtures import ensure_c1_fixture
+
+    path = ensure_c1_fixture()
+    return (
+        "SELECT d.doc_id AS doc_id, f.dcid AS dcid\n"
+        f"FROM documents d JOIN '{path}' f USING (doc_id)"
+    )
+
+
+SQL_C1 = _build_c1_sql()
+
+
 QUERIES = {
     "a1_dedupe": q_a1_dedupe,
     "a2_series_group": q_a2_series_group,
@@ -1012,7 +1033,7 @@ ORACLE_SQL = {
     "kg_pipeline": SQL_KG_PIPELINE,
     "kg_full_resolution": SQL_KG_PIPELINE,
     "kg_streaming": SQL_KG_PIPELINE,
-    # c1_farmhash_ids: intentionally no SQL oracle (no DuckDB farmhash)
+    "c1_farmhash_ids": SQL_C1,
 }
 
 
