@@ -44,6 +44,7 @@ _HEAVY = {
     "dedup_embedding",
     "dedup_embedding_lsh",
     "a2_optimized_graph_roundtrip",
+    "kg_pipeline",
     "kg_full_resolution",
     "kg_streaming",
 }
