@@ -209,3 +209,30 @@ def test_narrow_extraction_parity(spark):
     b = {tuple(r) for r in narrow.collect()}
     assert a == b
     assert len(a) > 0
+
+
+def test_all_distributed_branches_match_oracle(spark, monkeypatch):
+    """Force every size-gated driver fast path to DECLINE — the
+    distributed def-fixpoint (resolve_locals), the distributed CC
+    min-label loop, and the shuffle-join canonical rewrite — and hold
+    the full pipeline to the same P/R = 1.0 oracle gate as the default
+    path. This is the branch combination a 100-TB input actually takes
+    (the 4M-conversation probe measured 3.35M DEF statements against
+    the 2M-row driver gate, so resolve ran distributed there): the
+    scale path must not be a weaker-tested sibling of the test path."""
+    import import_spark.operators.canonicalize as cz
+    import import_spark.operators.resolve as rz
+    import import_spark.plans.kg_pipeline as kp
+
+    monkeypatch.setattr(rz, "DRIVER_RESOLVE_MAX_DEFS", -1)
+    monkeypatch.setattr(cz, "DRIVER_CC_MAX_EDGES", 0)
+    monkeypatch.setattr(kp, "BROADCAST_CC_MAX_ROWS", -1)
+
+    tr = generate_transcripts(spark, 150).cache()
+    res = run_pipeline(spark, tr, dcid_dictionary(spark))
+    got = {(r.subj, r.pred, r.obj_type, r.obj) for r in res.triples.collect()}
+    want, failed_uses = expected_triples(tr.toPandas(), build_dcid_dictionary())
+    p, r = precision_recall(got, want)
+    assert (p, r) == (1.0, 1.0)
+    assert res.failed.count() == len(failed_uses)
+    assert res.text_digest_in == res.text_digest_out != 0
