@@ -349,7 +349,7 @@ def embedding_near_dup(
         connected_components,
         connected_components_fast,
     )
-    from import_spark.operators.similarity import _dot, _norm, lsh_banded_signatures
+    from import_spark.operators.similarity import _cosine, lsh_banded_signatures
 
     dim_row = emb.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
@@ -372,7 +372,8 @@ def embedding_near_dup(
         .filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
     )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    # pandas-UDF cosine with native-fold bit parity (similarity._cosine)
+    cos = _cosine(F.col("_va"), F.col("_vb"))
     edges = (
         cand.withColumn("_cos", cos)
         .filter(F.col("_cos") >= threshold)

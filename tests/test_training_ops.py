@@ -280,3 +280,33 @@ def test_resize_images_plumbing(spark):
     assert {r.media_id: bytes(r.payload) for r in out} == again
     with _pytest.raises(NotImplementedError):
         resize_images(media, 64, 32, decoder="real")
+
+
+def test_cosine_udf_bitwise_matches_native_fold(spark):
+    """similarity._cosine (Arrow-batched scorer) must be BITWISE equal
+    to the native _dot/_norm fold it replaces — float32 products,
+    left-to-right float64 accumulation — on adversarial float32 values
+    (denormal-adjacent, sign-mixed, wide magnitude range). Raw doubles
+    compared, not the rounded form, so a last-ulp divergence fails."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from import_spark.operators.similarity import _cosine, _dot, _norm
+
+    rng = np.random.default_rng(13)
+    n, dim = 500, 37  # odd dim: no SIMD-friendly shape to hide behind
+    scale = rng.choice([1e-6, 1.0, 1e6], size=(n, dim))
+    a = (rng.standard_normal((n, dim)) * scale).astype(np.float32)
+    b = (rng.standard_normal((n, dim)) * scale).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, a[i].tolist(), b[i].tolist()) for i in range(n)],
+        "id long, va array<float>, vb array<float>",
+    )
+    out = df.select(
+        "id",
+        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("nat"),
+        _cosine(F.col("va"), F.col("vb")).alias("pdc"),
+    ).collect()
+    assert len(out) == n
+    for r in out:
+        assert r.nat == r.pdc, (r.id, r.nat.hex(), r.pdc.hex())
