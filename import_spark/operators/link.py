@@ -32,32 +32,72 @@ def prepare_dictionary(dcid_dict: DataFrame) -> DataFrame:
     )
 
 
-def link_statements(extracted: DataFrame, dcid_dict: DataFrame) -> DataFrame:
+def link_statements(
+    extracted: DataFrame,
+    dcid_dict: DataFrame,
+    strategy: str = "broadcast",
+    n_salts: int = 16,
+    hot: list[tuple] | None = None,
+    hot_min_count: int = 1_000_000,
+) -> DataFrame:
     """Resolve every EXT_ID row (TRIPLE objects and DEF targets) to a dcid.
 
     Dictionary hit → mapped dcid; miss → priority-prefix fallback
     ``<prefix>/<ext_id>`` (DcidGenerator.java:213-229). Returns the
     input with EXT_ID rows rewritten to RESOLVED_REF.
+
+    ``strategy="broadcast"`` (default): the dictionary fits executor
+    memory — broadcast hash join, no shuffle of the big side, hot
+    entities free. ``strategy="salted"``: the dictionary exceeds the
+    broadcast budget (a full Recon map at 10^12-turn scale) — only the
+    mention rows shuffle, joined via :func:`skew.salted_join` so hot
+    entities spread over ``n_salts`` reduce tasks; non-mention rows
+    bypass the shuffle entirely. Both strategies produce identical
+    output (equality-tested; the salted plan is hash-gated by the
+    ``j1_salted_link`` driver oracle on the same SQL as broadcast J1).
     """
-    dim = F.broadcast(prepare_dictionary(dcid_dict).withColumnRenamed("dcid", "_dict_dcid"))
+    dim = prepare_dictionary(dcid_dict).withColumnRenamed("dcid", "_dict_dcid")
     # DcidGenerator.forPlace prefix mapping (isoCode→iso, nutsCode→nuts).
     prefix_expr = (
         F.when(F.col("ext_prop") == "isoCode", F.lit("iso"))
         .when(F.col("ext_prop") == "nutsCode", F.lit("nuts"))
         .otherwise(F.col("ext_prop"))
     )
+    is_ext = F.col("ext_prop").isNotNull()
+    resolved = F.coalesce(
+        F.col("_dict_dcid"), F.concat(prefix_expr, F.lit("/"), F.col("ext_id"))
+    )
+    if strategy == "salted":
+        from import_spark.operators.skew import salted_join
+
+        dim_keyed = dim.withColumnRenamed("prop", "ext_prop")
+        ext_rows = extracted.filter(is_ext)
+        rest = extracted.filter(~is_ext)
+        linked_ext = salted_join(
+            ext_rows,
+            dim_keyed,
+            ["ext_prop", "ext_id"],
+            how="left",
+            n_salts=n_salts,
+            hot=hot,
+            hot_min_count=hot_min_count,
+        )
+        rewritten = (
+            linked_ext.withColumn("obj", resolved)
+            .withColumn("obj_type", F.lit("RESOLVED_REF"))
+            .drop("_dict_dcid")
+        )
+        return rewritten.select(*extracted.columns).unionByName(rest)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown link strategy {strategy!r}")
     linked = (
         extracted.join(
-            dim,
+            F.broadcast(dim),
             on=(extracted["ext_prop"] == dim["prop"]) & (extracted["ext_id"] == dim["ext_id"]),
             how="left",
         )
         .drop("prop")
         .drop(dim["ext_id"])
-    )
-    is_ext = F.col("ext_prop").isNotNull()
-    resolved = F.coalesce(
-        F.col("_dict_dcid"), F.concat(prefix_expr, F.lit("/"), extracted["ext_id"])
     )
     return (
         linked.withColumn("obj", F.when(is_ext, resolved).otherwise(F.col("obj")))

@@ -15,6 +15,7 @@ Operator ↔ query map (ids from SURVEY.md §2):
 - A10 duplicate-value conflict         → q_a10_dup_conflict
 - A13 percentile aggregation           → q_a13_percentiles
 - J1  broadcast entity-link join       → q_j1_broadcast_link
+- J1s salted shuffle entity-link join  → q_j1_salted_link
 - J5  differ (full-outer diff)         → q_j5_differ
 - J6  containment type join            → q_j6_containment
 - J7  hierarchy closure                → q_j7_closure
@@ -217,6 +218,28 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1, 2
 """
+
+
+def q_j1_salted_link(spark, sf):
+    """J1 scale variant: the same entity-link join through the explicit
+    hot-key salted SHUFFLE join (operators/skew.py) — the path taken
+    when the dictionary exceeds the broadcast budget (reference salting
+    analogue: SpannerClient.java:305-316). Half the nation keys are
+    pinned hot (replicated over 8 salts), half cold (single dim copy),
+    so both branches of the operator are under the J1 value hash."""
+    from import_spark.operators.skew import salted_join
+
+    c = _t(spark, sf, "customer").withColumnRenamed("c_nationkey", "nationkey")
+    n = _t(spark, sf, "nation").withColumnRenamed("n_nationkey", "nationkey")
+    r = _t(spark, sf, "region")
+    j = salted_join(
+        c, n, ["nationkey"], how="inner", n_salts=8, hot=[(k,) for k in range(13)]
+    )
+    return (
+        j.join(F.broadcast(r), j["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
 
 
 def q_j5_differ(spark, sf):
@@ -992,6 +1015,7 @@ QUERIES = {
     "a10_dup_conflict": q_a10_dup_conflict,
     "a13_percentiles": q_a13_percentiles,
     "j1_broadcast_link": q_j1_broadcast_link,
+    "j1_salted_link": q_j1_salted_link,
     "j5_differ": q_j5_differ,
     "j6_containment": q_j6_containment,
     "j7_closure": q_j7_closure,
@@ -1019,6 +1043,7 @@ ORACLE_SQL = {
     "a10_dup_conflict": SQL_A10,
     "a13_percentiles": SQL_A13,
     "j1_broadcast_link": SQL_J1,
+    "j1_salted_link": SQL_J1,
     "j5_differ": SQL_J5,
     "j6_containment": SQL_J6,
     "j7_closure": SQL_J7,
