@@ -52,8 +52,8 @@ from import_spark.operators.canonicalize import (
     connected_components,
     connected_components_fast,
 )
-from import_spark.operators.extract import extract_and_link
-from import_spark.operators.link import dcid_map_from_df
+from import_spark.operators.extract import FUSED_SCHEMA, extract_and_link, extract_statements
+from import_spark.operators.link import dcid_map_from_df, link_statements
 from import_spark.operators.merge import (
     dedupe_and_materialize,
     dedupe_triples,
@@ -131,6 +131,60 @@ class _Metrics:
         )
 
 
+# The fused extract+link carries the dictionary as a JVM map literal
+# (one py4j-built expression pair per entry, extract.py:427-428) and a
+# Python closure — both driver-side structures whose practical limit is
+# ENTRY COUNT, not the collect byte budget. Above it, the pipeline
+# falls back to the unfused extract + link JOIN (broadcast while the
+# dictionary fits the broadcast budget, hot-key salted shuffle beyond —
+# operators/skew.py), which is the only shape a multi-GB Recon map can
+# take at 10^12-turn scale.
+FUSED_DICT_MAX_ROWS = 10_000
+
+
+def _resolve_link_strategy(dcid_dict: DataFrame, requested: str) -> str:
+    if requested in ("fused", "broadcast", "salted"):
+        return requested
+    if requested != "auto":
+        raise ValueError(f"unknown link_strategy {requested!r}")
+    from import_spark.functions.size_gate import (
+        BROADCAST_BUDGET_BYTES,
+        DRIVER_COLLECT_BUDGET_BYTES,
+        fits_bytes,
+    )
+
+    n = dcid_dict.count()
+    if n <= FUSED_DICT_MAX_ROWS and fits_bytes(
+        dcid_dict, n, DRIVER_COLLECT_BUDGET_BYTES
+    ):
+        return "fused"
+    if fits_bytes(dcid_dict, n, BROADCAST_BUDGET_BYTES):
+        return "broadcast"
+    return "salted"
+
+
+def _link_plan(
+    transcripts: DataFrame,
+    dcid_dict: DataFrame,
+    strategy: str,
+    narrow_only: bool = False,
+    dmap: dict | None = None,
+) -> DataFrame:
+    """The extract+link stage under the resolved strategy. ``fused`` is
+    the closure-dictionary hot path; the join strategies produce the
+    same columns/rows via the unfused pair (equality asserted in
+    test_pipeline_e2e), without the narrow-only elision — the
+    downstream ``_cls`` filter prunes the same rows."""
+    if strategy == "fused":
+        if dmap is None:
+            dmap = dcid_map_from_df(dcid_dict)
+        return extract_and_link(transcripts, dmap, narrow_only=narrow_only)
+    cols = [f.name for f in FUSED_SCHEMA.fields]
+    return link_statements(
+        extract_statements(transcripts), dcid_dict, strategy=strategy
+    ).select(*cols)
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -143,8 +197,11 @@ def run_pipeline(
     num_buckets: int = 64,
     verify_text_invariant: bool = True,
     keep_snapshot: bool | None = None,
+    link_strategy: str = "auto",
 ) -> PipelineResult:
     m = _Metrics(run_id)
+    link_strategy = _resolve_link_strategy(dcid_dict, link_strategy)
+    m.add("link", f"strategy_{link_strategy}", 1)
     # per-partition lineage lands next to the checkpoint (or, without
     # one, the output) — one (run_id, stage)-partitioned parquet table
     lin_dir = (
@@ -191,7 +248,7 @@ def run_pipeline(
         else:
             if os.path.exists(digest_path):
                 os.remove(digest_path)
-            linked_plan = _with_cls(extract_and_link(transcripts, dcid_map_from_df(dcid_dict)))
+            linked_plan = _with_cls(_link_plan(transcripts, dcid_dict, link_strategy))
             linked_plan.write.mode("overwrite").partitionBy("_cls").parquet(snap)
             tmp_digest = digest_path + ".tmp"
             with open(tmp_digest, "w") as f:
@@ -215,11 +272,15 @@ def run_pipeline(
         # cores on a box (and at 100 TB the fat intermediate could
         # never be cached at all; persisting small side-outputs and
         # recomputing narrow lineage is the only design that survives).
-        dmap = dcid_map_from_df(dcid_dict)
-        full = _with_cls(extract_and_link(transcripts, dmap))
+        dmap = dcid_map_from_df(dcid_dict) if link_strategy == "fused" else None
+        full = _with_cls(_link_plan(transcripts, dcid_dict, link_strategy, dmap=dmap))
         linked = None
         narrow = (
-            _with_cls(extract_and_link(transcripts, dmap, narrow_only=True))
+            _with_cls(
+                _link_plan(
+                    transcripts, dcid_dict, link_strategy, narrow_only=True, dmap=dmap
+                )
+            )
             .filter(F.col("_cls") >= CLS_LOCAL)
             .persist()
         )

@@ -236,3 +236,41 @@ def test_all_distributed_branches_match_oracle(spark, monkeypatch):
     assert (p, r) == (1.0, 1.0)
     assert res.failed.count() == len(failed_uses)
     assert res.text_digest_in == res.text_digest_out != 0
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "salted"])
+def test_link_strategy_fallback_matches_oracle(spark, strategy):
+    """The big-dictionary fallback (unfused extract + link JOIN,
+    broadcast or hot-key salted — taken when the dictionary exceeds
+    the fused closure/map-literal gate) produces the exact oracle
+    triple set, failed parity, and the text invariant, same as the
+    fused hot path."""
+    tr = generate_transcripts(spark, 120).cache()
+    res = run_pipeline(spark, tr, dcid_dictionary(spark), link_strategy=strategy)
+    got = {(r.subj, r.pred, r.obj_type, r.obj) for r in res.triples.collect()}
+    want, failed_uses = expected_triples(tr.toPandas(), build_dcid_dictionary())
+    assert precision_recall(got, want) == (1.0, 1.0)
+    assert res.failed.count() == len(failed_uses)
+    assert res.text_digest_in == res.text_digest_out != 0
+    strategies = [
+        r["counter"] for r in res.metrics if r["counter"].startswith("strategy_")
+    ]
+    assert strategies == [f"strategy_{strategy}"]
+
+
+def test_link_strategy_auto_resolution(spark):
+    """auto → fused for a dimension-sized dictionary; the entry-count
+    gate flips it to a join strategy."""
+    import import_spark.plans.kg_pipeline as kp
+
+    d = dcid_dictionary(spark)
+    assert kp._resolve_link_strategy(d, "auto") == "fused"
+    assert kp._resolve_link_strategy(d, "salted") == "salted"
+    try:
+        orig = kp.FUSED_DICT_MAX_ROWS
+        kp.FUSED_DICT_MAX_ROWS = 0
+        assert kp._resolve_link_strategy(d, "auto") == "broadcast"
+    finally:
+        kp.FUSED_DICT_MAX_ROWS = orig
+    with pytest.raises(ValueError):
+        kp._resolve_link_strategy(d, "nope")
