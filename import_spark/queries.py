@@ -1005,6 +1005,55 @@ def _build_c1_sql() -> str:
 SQL_C1 = _build_c1_sql()
 
 
+def q_streaming_window_counts(spark, sf):
+    """Event-time windowed aggregation with a watermark over the events
+    table, executed as a real Structured-Streaming query
+    (streaming/windows.py windowed_turn_counts) drained with
+    ``Trigger.AvailableNow`` into a memory sink. Complete output mode so
+    every window is emitted at drain end (append mode would hold back
+    the tail windows the watermark has not passed — correct for an
+    unbounded stream, not for a bounded oracle comparison); the
+    watermark column is exercised either way. Oracle: plain hour-bucket
+    GROUP BY."""
+    import uuid as _uuid
+
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    stream = (
+        # the file-stream source wants a directory base; a glob keeps
+        # the base at the sf dir while matching only the events table
+        spark.readStream.schema(batch.schema)
+        .parquet(f"{sf}/events.*")
+        # the parquet column is TIMESTAMP_NTZ; a watermark needs an
+        # instant — the session runs UTC, so the cast is wall-clock
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    from import_spark.streaming.windows import windowed_turn_counts
+
+    agg = windowed_turn_counts(
+        stream, "1 hour", "2 hours", key_col="event_type"
+    ).withColumnRenamed("n_turns", "n_events")
+    name = f"swc_{_uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_STREAMING_WINDOW_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "a1_dedupe": q_a1_dedupe,
     "a2_series_group": q_a2_series_group,
@@ -1016,6 +1065,7 @@ QUERIES = {
     "a13_percentiles": q_a13_percentiles,
     "j1_broadcast_link": q_j1_broadcast_link,
     "j1_salted_link": q_j1_salted_link,
+    "streaming_window_counts": q_streaming_window_counts,
     "j5_differ": q_j5_differ,
     "j6_containment": q_j6_containment,
     "j7_closure": q_j7_closure,
@@ -1044,6 +1094,7 @@ ORACLE_SQL = {
     "a13_percentiles": SQL_A13,
     "j1_broadcast_link": SQL_J1,
     "j1_salted_link": SQL_J1,
+    "streaming_window_counts": SQL_STREAMING_WINDOW_COUNTS,
     "j5_differ": SQL_J5,
     "j6_containment": SQL_J6,
     "j7_closure": SQL_J7,

@@ -39,18 +39,19 @@ def windowed_turn_counts(
     stream: DataFrame,
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
+    key_col: str = "role",
 ) -> DataFrame:
-    """Per-role turn counts in event-time windows with late-data
-    tolerance = ``watermark``. Append-mode compatible (finalized
-    windows emit once the watermark passes)."""
+    """Per-``key_col`` event counts in event-time windows with
+    late-data tolerance = ``watermark``. Append-mode compatible
+    (finalized windows emit once the watermark passes)."""
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration).alias("w"), F.col("role"))
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col(key_col))
         .agg(F.count("*").alias("n_turns"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
-            "role",
+            key_col,
             "n_turns",
         )
     )

@@ -143,3 +143,28 @@ def test_conversation_session_state(spark, tmp_path):
     for cid, n in batch.items():
         assert got[cid].n_turns == n
         assert got[cid].first_ts <= got[cid].last_ts
+
+
+def test_streaming_window_counts_query_matches_batch(spark):
+    """The driver query (AvailableNow drain, watermark, complete-mode
+    memory sink) equals the plain batch window aggregation."""
+    from pyspark.sql import functions as F
+
+    from import_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["streaming_window_counts"](spark, sf)
+    batch = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    key = lambda df: sorted(tuple(str(v) for v in r) for r in df.collect())  # noqa: E731
+    assert key(got) == key(batch) and got.count() > 0
