@@ -335,3 +335,48 @@ class TestRepetitionProperties:
             dup, top = ref(t)
             assert math.isclose(got[i][0], dup, rel_tol=1e-12, abs_tol=1e-12), (i, t)
             assert math.isclose(got[i][1], top, rel_tol=1e-12, abs_tol=1e-12), (i, t)
+
+
+# ------------------------------------------------------------- salted join
+
+_keys = st.one_of(st.integers(min_value=0, max_value=6), st.none())
+_rows = st.lists(
+    st.tuples(_keys, st.integers(min_value=0, max_value=99)),
+    min_size=0,
+    max_size=60,
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestSaltedJoinProperty:
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        big_rows=_rows,
+        dim_rows=_rows,
+        how=st.sampled_from(["left", "inner"]),
+        n_salts=st.integers(min_value=1, max_value=5),
+        hot=st.lists(_keys, max_size=4),
+    )
+    def test_salted_join_equals_plain(
+        self, spark, big_rows, dim_rows, how, n_salts, hot
+    ):
+        """operators/skew.salted_join == the plain join for ANY key
+        multiset (nulls, duplicate keys both sides, arbitrary hot sets
+        including keys that do not exist)."""
+        from import_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [(k, f"b{v}") for k, v in big_rows] or [(None, None)], "k int, b string"
+        )
+        dim = spark.createDataFrame(
+            [(k, f"d{v}") for k, v in dim_rows] or [(None, None)], "k int, d string"
+        )
+        got = salted_join(
+            big, dim, ["k"], how=how, n_salts=n_salts, hot=[(h,) for h in hot]
+        )
+        want = big.join(dim, ["k"], how)
+        srt = lambda df: sorted(  # noqa: E731
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+        assert srt(got) == srt(want)
