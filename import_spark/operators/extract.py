@@ -335,6 +335,22 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def statement_bearing(transcripts: DataFrame) -> DataFrame:
+    """The explicit null policy of the extraction: a row without a
+    conv_id, turn_idx, or text cannot bear statements (the turn/conv
+    node ids derive from the first two; every anchor derives from the
+    third) and is dropped — rather than the accidental alternatives of
+    emitting null-field triples or colliding every null-keyed row on
+    one hash. Null role/tool on a VALID row just skip that property's
+    statement. The text-digest invariant is unaffected: both sides
+    digest the raw input."""
+    return transcripts.filter(
+        F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
+        & F.col("text").isNotNull()
+    )
+
+
 def extract_statements(transcripts: DataFrame) -> DataFrame:
     """transcripts → long-form candidate statements (narrow, no shuffle)."""
 
@@ -345,7 +361,9 @@ def extract_statements(transcripts: DataFrame) -> DataFrame:
 
     # column-prune before the Python boundary: ts never crosses Arrow
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-    return transcripts.select(*cols).mapInPandas(gen, schema=EXTRACT_SCHEMA)
+    return statement_bearing(transcripts).select(*cols).mapInPandas(
+        gen, schema=EXTRACT_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -467,7 +485,9 @@ def _jvm_statements(
         s(turn, "typeOf", "RESOLVED_REF", TURN_TYPE),
         s(turn, "partOf", "RESOLVED_REF", cnode),
         s(cnode, "typeOf", "RESOLVED_REF", CONV_TYPE),
-        s(turn, "role", "TEXT", F.col("role")),
+        # an absent property is simply not asserted (a null obj would
+        # be unserializable in the MCF sink) — same rule as tool below
+        F.when(F.col("role").isNotNull(), s(turn, "role", "TEXT", F.col("role"))),
         F.when(F.col("tool") != "", s(turn, "toolUsed", "TEXT", F.col("tool"))),
     )
 
@@ -691,6 +711,7 @@ def extract_and_link(
     full output yields for those classes, via the same code paths —
     with the fat-row work elided and the JVM branch pre-filtered to
     the see/sameAs turn subset."""
+    transcripts = statement_bearing(transcripts)
     src = (
         transcripts.filter(F.col("text").rlike(_NARROW_JVM))
         if narrow_only

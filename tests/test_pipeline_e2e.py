@@ -274,3 +274,56 @@ def test_link_strategy_auto_resolution(spark):
         kp.FUSED_DICT_MAX_ROWS = orig
     with pytest.raises(ValueError):
         kp._resolve_link_strategy(d, "nope")
+
+
+def test_adversarial_inputs_null_policy_and_idempotence(spark):
+    """Nulls a real parquet CAN carry (the generator schema is
+    non-nullable, arbitrary input is not): rows missing conv_id /
+    turn_idx / text bear no statements; a null role on a valid row
+    skips only the role statement; NO emitted triple carries a null
+    field (unserializable in the MCF sink); byte-identical duplicate
+    rows are output-idempotent; the text invariant still holds."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from import_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    tr = generate_transcripts(spark, 30)
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in TRANSCRIPT_SCHEMA.fields]
+    )
+    extra = spark.createDataFrame(
+        [
+            ("conv/7000000001", 0, None, 'note "nullrole"', None, None),
+            ("conv/7000000002", 0, "user", None, None, None),  # null text
+            (None, 5, "user", "metric is 7", None, None),  # null conv_id
+        ],
+        schema=nullable,
+    )
+    adv = tr.unionByName(extra).unionByName(tr.limit(3))
+    d = dcid_dictionary(spark)
+    res = run_pipeline(spark, adv, d)
+    t = res.triples.cache()
+    assert (
+        t.filter(
+            F.col("subj").isNull()
+            | F.col("pred").isNull()
+            | F.col("obj_type").isNull()
+            | F.col("obj").isNull()
+        ).count()
+        == 0
+    )
+    # null role: the row still bears its other statements, minus role
+    row_t = t.filter(F.col("conv_id") == "conv/7000000001")
+    preds = {r["pred"] for r in row_t.collect()}
+    assert "says" in preds and "typeOf" in preds and "role" not in preds
+    # null text / null conv_id rows bear nothing
+    assert t.filter(F.col("conv_id") == "conv/7000000002").count() == 0
+    assert t.filter(F.col("conv_id").isNull()).count() == 0
+    assert res.text_digest_in == res.text_digest_out
+    # byte-identical duplicates change nothing
+    res2 = run_pipeline(spark, adv.dropDuplicates(), d)
+    a = {tuple(r) for r in t.collect()}
+    b = {tuple(r) for r in res2.triples.collect()}
+    assert a == b
+    t.unpersist()
