@@ -258,13 +258,9 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ),
-        )
-        .select("id_a", "id_b", "n_common", "jaccard")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .withColumn("jaccard", F.round(F.col("n_common") / F.col("n_union"), 6))
+        .select("id_a", "id_b", "n_common", "n_union", "jaccard")
     )
 
 

@@ -1276,6 +1276,75 @@ SELECT a AS doc_id, min(b) AS canon_id FROM reach GROUP BY a HAVING min(b) < a
 """
 
 
+def q_dedup_jaccard(spark, sf):
+    """Exact n-gram Jaccard over rare-shingle-blocked candidate pairs —
+    the verify operator that minhash_dedup composes, gated standalone.
+
+    Blocking: pairs (a < b) sharing at least one 5-shingle whose corpus
+    document frequency is ≤ 5. The df cap bounds the self-join fanout
+    per shingle at O(cap²) regardless of corpus size (a boilerplate
+    shingle shared by a million docs contributes nothing instead of
+    10¹² pairs), so the candidate set stays linear in the number of
+    rare shared shingles — the same hot-key discipline as the LSH
+    bucket cap. The shingle table is computed ONCE and reused by both
+    the blocker and the verify join (shingles_df=).
+
+    Output is integer-only (|A∩B|, |A∪B|): the driver value-hashes
+    results, and a rounded float ratio would be exposed to HALF_UP
+    (Spark) vs HALF_EVEN (DuckDB) tie-breaking; the ratio itself is
+    still computed (and thresholded) inside minhash_dedup's gated run."""
+    from import_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    docs = _t(spark, sf, "documents")
+    sh = shingles(docs, "text", "doc_id", k=5)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df").between(2, 5))
+        .select("shingle")
+    )
+    blocked = sh.join(rare, "shingle")
+    a = blocked.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
+    b = blocked.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = ngram_jaccard_pairs(docs, pairs, k=5, shingles_df=sh)
+    return out.select("id_a", "id_b", "n_common", "n_union")
+
+
+SQL_DEDUP_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest([array_to_string(ws[i:i+4], ' ') FOR i IN range(1, greatest(len(ws)-3, 1))]) AS s
+    FROM w)
+),
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 5),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN rare r ON a.s = r.s JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_common, na.n + nb.n - i.n_common AS n_union
+FROM inter i
+JOIN sz na ON na.doc_id = i.id_a
+JOIN sz nb ON nb.doc_id = i.id_b
+"""
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash fingerprints, hash-checked end-to-end: the sha256 hash
     mode computes the identical per-token 64-bit value in Spark and
@@ -1455,6 +1524,7 @@ QUERIES.update(
     {
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
@@ -1471,6 +1541,7 @@ ORACLE_SQL.update(
     {
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
+        "dedup_jaccard": SQL_DEDUP_JACCARD,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "sim_cosine_topk": SQL_SIM_TOPK,
         "sim_lsh_ann": SQL_SIM_LSH_ANN,

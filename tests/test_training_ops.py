@@ -51,9 +51,25 @@ def test_ngram_jaccard(docs, spark):
     from import_spark.operators.dedup import ngram_jaccard_pairs
 
     pairs = spark.createDataFrame([(1, 3), (1, 4)], ["id_a", "id_b"])
-    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    rows = {(r.id_a, r.id_b): r for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    out = {k: r.jaccard for k, r in rows.items()}
     assert out[(1, 3)] > 0.5  # one word changed
     assert (1, 4) not in out or out[(1, 4)] < 0.1
+    r13 = rows[(1, 3)]
+    assert r13.n_union >= r13.n_common > 0
+    assert abs(r13.jaccard - round(r13.n_common / r13.n_union, 6)) < 1e-9
+
+
+def test_dedup_jaccard_query_blocking(spark):
+    """The gated query's blocker: df-capped shingles bound the pair
+    fanout — a shingle shared by > cap docs contributes no pairs."""
+    from import_spark.queries import q_dedup_jaccard
+
+    out = q_dedup_jaccard(spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas()
+    assert set(pdf.columns) == {"id_a", "id_b", "n_common", "n_union"}
+    assert (pdf.n_common >= 1).all() and (pdf.n_union >= pdf.n_common).all()
+    assert (pdf.id_a < pdf.id_b).all()
 
 
 def test_cosine_topk_bruteforce(spark):
