@@ -32,7 +32,26 @@ UNRESOLVED_REF = "UNRESOLVED_REF"
 RESOLVED_REF = "RESOLVED_REF"
 COMPLEX_VALUE = "COMPLEX_VALUE"
 
-_NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$|^[+-]?Infinity$|^NaN$")
+# The exact accepted language of StringUtil.isNumber (StringUtil.java:93-110):
+# parseLong|parseUnsignedLong accept strict subsets of Double.parseDouble's
+# language, so isNumber == parseDouble parseability == the Double.valueOf
+# javadoc grammar verbatim (leading/trailing chars <= \x20 trimmed, optional
+# sign, NaN/Infinity, decimal w/ optional [fFdD] suffix, hex float). ASCII
+# digit classes spelled explicitly so the Python `re` twin and the Java-regex
+# `rlike` twin read the pattern identically (Python \d is Unicode-aware;
+# parseDouble is not). Anchors are engine-specific: Python \Z and Java \z both
+# mean absolute end-of-input ($ would match before a trailing line terminator,
+# and Java's terminator set includes U+0085/U+2028 which parseDouble rejects).
+_JAVA_FP_CORE = (
+    r"[\x00-\x20]*[+-]?("
+    r"NaN|Infinity|"
+    r"((([0-9]+\.?[0-9]*([eE][+-]?[0-9]+)?)|"
+    r"(\.[0-9]+([eE][+-]?[0-9]+)?)|"
+    r"((0[xX][0-9a-fA-F]+\.?|0[xX][0-9a-fA-F]*\.[0-9a-fA-F]+)[pP][+-]?[0-9]+))"
+    r"[fFdD]?))"
+    r"[\x00-\x20]*"
+)
+_NUM_RE = re.compile(r"\A" + _JAVA_FP_CORE + r"\Z")
 _BOOLS = {"true", "false", "1", "0"}
 
 
@@ -225,14 +244,16 @@ def col_clean_numeric(c):
 
 
 def col_is_number(c):
-    """Column version of P5 (cast-based, mirrors parse-success semantics).
+    """Column version of P5: the Java FP-literal grammar via rlike.
 
-    try_cast, not cast: under Spark 4's default ANSI mode a plain cast
-    THROWS on malformed input — this predicate exists precisely to
-    classify malformed input, so it must be total (found by the
-    hypothesis property test on the empty string).
+    rlike (Java regex on the JVM) evaluates the SAME pattern text as the
+    Python twin, so both accept exactly Double.parseDouble's language.
+    Previously try_cast("double"), which is a strict superset (Spark's
+    cast adds trimmed case-insensitive inf/infinity/nan literals —
+    Cast.processFloatingPointSpecialLiterals) — found by the hypothesis
+    twin property on '0 ' after the Python side under-accepted it.
     """
-    return c.try_cast("double").isNotNull()
+    return c.rlike("\\A" + _JAVA_FP_CORE + "\\z")
 
 
 def col_is_valid_dcid(c):

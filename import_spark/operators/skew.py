@@ -107,6 +107,11 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if hot is None:
         hot = hot_join_keys(big, keys, hot_min_count)
+    # dedupe caller-supplied hot sets: _tag_hot's left join against a
+    # DUPLICATED hot tuple would replicate every tagged row once per
+    # copy (the census path can't produce dupes; a hand-built list can
+    # — found by the hypothesis property on hot=[(None,), (None,)])
+    hot = list(dict.fromkeys(tuple(h) for h in hot))
     if not hot:
         return big.join(dim, keys, how)
 

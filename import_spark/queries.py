@@ -2900,3 +2900,315 @@ FROM events ORDER BY dcid
 
 QUERIES["a2_optimized_graph_roundtrip"] = q_a2_optimized_graph_roundtrip
 ORACLE_SQL["a2_optimized_graph_roundtrip"] = SQL_A2_OPTG
+
+
+# ---------------- simple importer (SURVEY §3.3 Runner analogue) ----------------
+
+
+def q_simple_vpr_obs(spark, sf):
+    """Variable-per-row (SVObs) import
+    (simple/stats/variable_per_row_importer.py:104-338): official
+    column-mapping keys, per-row unit overriding the configured
+    default, NA-token value filtering, and the entity dimension
+    serialized into the properties JSON — all exercised over a
+    projection of the events table. Bit-parity with the reference's
+    own goldens is tests/test_simple_import.py."""
+    from import_spark.operators.simple_importers import import_variable_per_row
+
+    ev = _t(spark, sf, "events")
+    inp = ev.select(
+        F.concat(F.lit("dcid:user/"), F.col("user_id").cast("string")).alias("WHO"),
+        F.col("event_type").alias("SERIES"),
+        F.date_format("ts", "yyyy-MM-dd").alias("WHEN"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("-"))
+        .otherwise(F.round(F.col("value") * 100).cast("long").cast("string"))
+        .alias("VAL"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("dcid:Percent")).otherwise(F.lit("")).alias("U"),
+    )
+    return import_variable_per_row(
+        inp,
+        {
+            "dcid:observationAbout": "WHO",
+            "dcid:variableMeasured": "SERIES",
+            "dcid:observationDate": "WHEN",
+            "dcid:value": "VAL",
+            "dcid:unit": "U",
+        },
+        observation_properties={"unit": "Count"},
+        provenance="dcid:provenance/Events",
+    )
+
+
+SQL_SIMPLE_VPR = """
+SELECT CAST(NULL AS VARCHAR) AS entity,
+       event_type AS variable,
+       strftime(ts, '%Y-%m-%d') AS date,
+       CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) AS value,
+       'provenance/Events' AS provenance,
+       CASE WHEN event_id % 3 = 0 THEN 'Percent' ELSE 'Count' END AS unit,
+       '' AS scaling_factor,
+       '' AS measurement_method,
+       '' AS observation_period,
+       '{"dcid:observationAbout": "user/' || CAST(user_id AS VARCHAR) || '"}' AS properties
+FROM events WHERE event_id % 7 <> 0
+"""
+
+
+_SIMPLE_EVENTS_CONFIG = {
+    "inputFiles": {
+        "events.csv": {
+            "eventType": "UserEvent",
+            "entityType": "User",
+            "provenance": "Events Provenance",
+            "idColumn": "event_id",
+            "computedVariables": ["User Event Count"],
+            "columnMappings": {
+                "dcid:location": "user_id",
+                "dcid:observationDate": "EVENT_TS",
+            },
+        }
+    },
+    "events": {"UserEvent": {"name": "User Event", "description": "A user interaction"}},
+    "variables": {
+        "User Event Count": {
+            "name": "Number of user events",
+            "aggregation": {"period": "month"},
+        }
+    },
+    "sources": {
+        "Events Source": {
+            "url": "http://example.org/events",
+            "provenances": {"Events Provenance": "http://example.org/events/prov"},
+        }
+    },
+}
+
+
+def _simple_events_result(spark, sf):
+    """Full Runner-analogue plan over the events table: dispatch,
+    offline recon resolution, count aggregation, event row triples and
+    the nodes-registry triples (simple/stats/runner.py:89-163,
+    events_importer.py:42-343, nodes.py)."""
+    from import_spark.plans.simple_import import run_simple_import
+
+    ev = _t(spark, sf, "events")
+    inp = ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("EVENT_TS"),
+        "event_type",
+        "props",
+    )
+    recon = (
+        ev.select(F.col("user_id").cast("string").alias("external_id"))
+        .distinct()
+        .select("external_id", F.concat(F.lit("user/"), F.col("external_id")).alias("dcid"))
+    )
+    return run_simple_import(spark, _SIMPLE_EVENTS_CONFIG, {"events.csv": inp}, recon_table=recon)
+
+
+def q_simple_import_events(spark, sf):
+    return _simple_events_result(spark, sf).observations
+
+
+def q_simple_import_triples(spark, sf):
+    return _simple_events_result(spark, sf).triples
+
+
+SQL_SIMPLE_EVENTS_OBS = """
+SELECT 'user/' || CAST(user_id AS VARCHAR) AS entity,
+       'User_Event_Count' AS variable,
+       strftime(ts, '%Y-%m') AS date,
+       CAST(count(*) AS VARCHAR) AS value,
+       'c/p/1' AS provenance,
+       '' AS unit, '' AS scaling_factor, '' AS measurement_method,
+       '' AS observation_period, '' AS properties
+FROM events GROUP BY 1, 3
+"""
+
+SQL_SIMPLE_EVENTS_TRIPLES = """
+SELECT CAST(event_id AS VARCHAR) AS subject_id, 'typeOf' AS predicate,
+       'UserEvent' AS object_id, CAST(NULL AS VARCHAR) AS object_value FROM events
+UNION ALL SELECT CAST(event_id AS VARCHAR), 'location', 'user/' || CAST(user_id AS VARCHAR), NULL FROM events
+UNION ALL SELECT CAST(event_id AS VARCHAR), 'observationDate', NULL, strftime(ts, '%Y-%m-%d %H:%M:%S') FROM events
+UNION ALL SELECT CAST(event_id AS VARCHAR), 'includedIn', 'c/p/1', NULL FROM events
+UNION ALL SELECT CAST(event_id AS VARCHAR), 'event_type', NULL, event_type FROM events
+UNION ALL SELECT CAST(event_id AS VARCHAR), 'props', NULL, props FROM events
+UNION ALL SELECT DISTINCT 'user/' || CAST(user_id AS VARCHAR), 'typeOf', 'User', NULL FROM events
+UNION ALL SELECT * FROM (VALUES
+  ('c/s/default', 'typeOf', 'Source', NULL),
+  ('c/s/default', 'name', NULL, 'Custom Data Commons'),
+  ('c/s/1', 'typeOf', 'Source', NULL),
+  ('c/s/1', 'name', NULL, 'Events Source'),
+  ('c/s/1', 'url', NULL, 'http://example.org/events'),
+  ('c/s/1', 'domain', NULL, 'example.org'),
+  ('c/p/default', 'typeOf', 'Provenance', NULL),
+  ('c/p/default', 'name', NULL, 'Custom Import'),
+  ('c/p/default', 'source', 'c/s/default', NULL),
+  ('c/p/default', 'url', NULL, 'custom-import'),
+  ('c/p/1', 'typeOf', 'Provenance', NULL),
+  ('c/p/1', 'name', NULL, 'Events Provenance'),
+  ('c/p/1', 'source', 'c/s/1', NULL),
+  ('c/p/1', 'url', NULL, 'http://example.org/events/prov'),
+  ('event_id', 'typeOf', 'Property', NULL),
+  ('event_id', 'name', NULL, 'event_id'),
+  ('event_type', 'typeOf', 'Property', NULL),
+  ('event_type', 'name', NULL, 'event_type'),
+  ('props', 'typeOf', 'Property', NULL),
+  ('props', 'name', NULL, 'props'),
+  ('UserEvent', 'typeOf', 'Class', NULL),
+  ('UserEvent', 'subClassOf', 'Event', NULL),
+  ('UserEvent', 'name', NULL, 'User Event'),
+  ('UserEvent', 'description', NULL, 'A user interaction'),
+  ('UserEvent', 'includedIn', 'c/p/1', NULL),
+  ('UserEvent', 'includedIn', 'c/s/1', NULL),
+  ('c/g/Root', 'typeOf', 'StatVarGroup', NULL),
+  ('c/g/Root', 'name', NULL, 'Custom Variables'),
+  ('c/g/Root', 'specializationOf', 'dc/g/Root', NULL),
+  ('User_Event_Count', 'typeOf', 'StatisticalVariable', NULL),
+  ('User_Event_Count', 'name', NULL, 'Number of user events'),
+  ('User_Event_Count', 'memberOf', 'c/g/Root', NULL),
+  ('User_Event_Count', 'includedIn', 'c/p/1', NULL),
+  ('User_Event_Count', 'includedIn', 'c/s/1', NULL),
+  ('User_Event_Count', 'populationType', 'Thing', NULL),
+  ('User_Event_Count', 'statType', 'measuredValue', NULL),
+  ('User_Event_Count', 'measuredProperty', 'User_Event_Count', NULL)
+) v(subject_id, predicate, object_id, object_value)
+"""
+
+QUERIES.update(
+    {
+        "simple_vpr_obs": q_simple_vpr_obs,
+        "simple_import_events": q_simple_import_events,
+        "simple_import_triples": q_simple_import_triples,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "simple_vpr_obs": SQL_SIMPLE_VPR,
+        "simple_import_events": SQL_SIMPLE_EVENTS_OBS,
+        "simple_import_triples": SQL_SIMPLE_EVENTS_TRIPLES,
+    }
+)
+
+
+def q_simple_mcf_import(spark, sf):
+    """McfImporter custom-DC path (mcf_importer.py:59-165) as a db
+    query: MCF node rows built from the nation table — local ids
+    resolved through their dcid rows, ref values → object_id, an
+    already-URI node passing through unmapped, and a dcid-less local
+    node dropped (the reference raises; quarantine policy here)."""
+    from import_spark.operators.simple_importers import mcf_db_triples
+
+    n = _t(spark, sf, "nation")
+    lid = F.concat(F.lit("l:n"), F.col("n_nationkey").cast("string"))
+    rows = n.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    lid.alias("node_id"),
+                    F.lit("dcid").alias("prop"),
+                    F.lit("TEXT").alias("value_type"),
+                    F.concat(F.lit("nation/"), F.col("n_nationkey").cast("string")).alias(
+                        "value"
+                    ),
+                ),
+                F.struct(
+                    lid.alias("node_id"),
+                    F.lit("name").alias("prop"),
+                    F.lit("TEXT").alias("value_type"),
+                    F.col("n_name").alias("value"),
+                ),
+                F.struct(
+                    lid.alias("node_id"),
+                    F.lit("locatedIn").alias("prop"),
+                    F.lit("UNRESOLVED_REF").alias("value_type"),
+                    F.concat(F.lit("region/"), F.col("n_regionkey").cast("string")).alias(
+                        "value"
+                    ),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*", F.lit("mem://nation.mcf").alias("src_file"))
+    extra = spark.createDataFrame(
+        [
+            ("dcid:Source1", "url", "TEXT", "http://example.org", "mem://nation.mcf"),
+            # no dcid row AND not URI/namespace-shaped (space, no colon)
+            # → the reference raises, this engine quarantine-drops
+            ("orphan node 1", "name", "TEXT", "no dcid, dropped", "mem://nation.mcf"),
+        ],
+        "node_id string, prop string, value_type string, value string, src_file string",
+    )
+    return mcf_db_triples(rows.unionByName(extra))
+
+
+SQL_SIMPLE_MCF = """
+SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS subject_id,
+       'name' AS predicate, CAST(NULL AS VARCHAR) AS object_id, n_name AS object_value
+FROM nation
+UNION ALL
+SELECT 'nation/' || CAST(n_nationkey AS VARCHAR), 'locatedIn',
+       'region/' || CAST(n_regionkey AS VARCHAR), NULL
+FROM nation
+UNION ALL
+SELECT 'dcid:Source1', 'url', NULL, 'http://example.org'
+"""
+
+QUERIES["simple_mcf_import"] = q_simple_mcf_import
+ORACLE_SQL["simple_mcf_import"] = SQL_SIMPLE_MCF
+
+
+def q_s5_jsonld_export_roundtrip(spark, sf):
+    """JSON-LD sink → scan roundtrip (jsonld_exporter.py:34-269 write
+    side + S5 read side): node statements built from nation, written as
+    compacted NDJSON-LD shards, read back as statements."""
+    import os
+    import tempfile
+
+    from import_spark.sources.jsonld import read_jsonld, write_jsonld
+
+    n = _t(spark, sf, "nation")
+    nid = F.concat(F.lit("nation/"), F.col("n_nationkey").cast("string"))
+    rows = n.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    nid.alias("node_id"),
+                    F.lit("typeOf").alias("prop"),
+                    F.lit("RESOLVED_REF").alias("value_type"),
+                    F.lit("Nation").alias("value"),
+                ),
+                F.struct(
+                    nid.alias("node_id"),
+                    F.lit("name").alias("prop"),
+                    F.lit("TEXT").alias("value_type"),
+                    F.col("n_name").alias("value"),
+                ),
+                F.struct(
+                    nid.alias("node_id"),
+                    F.lit("locatedIn").alias("prop"),
+                    F.lit("RESOLVED_REF").alias("value_type"),
+                    F.concat(F.lit("region/"), F.col("n_regionkey").cast("string")).alias(
+                        "value"
+                    ),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*", F.lit("mem://nation.jsonld").alias("src_file"))
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonld_rt_"), "shards")
+    write_jsonld(rows, path)
+    return read_jsonld(spark, path).select("node_id", "prop", "value_type", "value")
+
+
+SQL_S5_EXPORT = """
+SELECT 'nation/' || CAST(n_nationkey AS VARCHAR) AS node_id,
+       'typeOf' AS prop, 'RESOLVED_REF' AS value_type, 'Nation' AS value FROM nation
+UNION ALL
+SELECT 'nation/' || CAST(n_nationkey AS VARCHAR), 'name', 'TEXT', n_name FROM nation
+UNION ALL
+SELECT 'nation/' || CAST(n_nationkey AS VARCHAR), 'locatedIn', 'RESOLVED_REF',
+       'region/' || CAST(n_regionkey AS VARCHAR) FROM nation
+"""
+
+QUERIES["s5_jsonld_export_roundtrip"] = q_s5_jsonld_export_roundtrip
+ORACLE_SQL["s5_jsonld_export_roundtrip"] = SQL_S5_EXPORT

@@ -92,3 +92,50 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return raw.mapInPandas(gen, schema=MCF_SCHEMA)
+
+
+def write_jsonld(nodes: DataFrame, path: str, context: dict | None = None) -> None:
+    """JSON-LD sink (jsonld_exporter.py:34-93,221-269 re-expressed):
+    long-form statement rows → NDJSON-LD, one compacted node object per
+    line ({"@id", "@type", prop: [literal | {"@id": ref}]}), sharded by
+    partition like the reference's chunked write_shard loop.
+
+    Shape: ONE hash aggregate groups each node's statements
+    (collect_list on the already-key-partitioned rows), then a
+    vectorized batch serializes each node with json.dumps — the
+    formatting/escaping tool, used only on the already-aggregated
+    output rows (the reference's rdflib serializer is the same
+    driver-side Python, unsharded). Reads back via read_jsonld.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    ctx = {"dcid": "https://datacommons.org/browser/"}
+    ctx.update(context or {})
+    grouped = nodes.groupBy("node_id").agg(
+        F.collect_list(F.struct("prop", "value_type", "value")).alias("_stmts")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ref_types = {"RESOLVED_REF", "UNRESOLVED_REF"}
+        for pdf in batches:
+            lines = []
+            for node_id, stmts in zip(pdf["node_id"], pdf["_stmts"]):
+                # context lives in one sidecar per dataset (the
+                # reference's per-shard ns_map), NOT per line — the
+                # reader treats unknown @-less keys as properties
+                obj: dict = {"@id": str(node_id)}
+                for s in sorted(stmts, key=lambda s: (s["prop"], s["value"])):
+                    if s["prop"] == "typeOf":
+                        obj.setdefault("@type", []).append(s["value"])
+                    elif s["value_type"] in ref_types:
+                        obj.setdefault(s["prop"], []).append({"@id": s["value"]})
+                    else:
+                        obj.setdefault(s["prop"], []).append(s["value"])
+                lines.append(json.dumps(obj, sort_keys=True))
+            yield pd.DataFrame({"value": lines})
+
+    grouped.mapInPandas(gen, schema="value string").write.mode("overwrite").text(path)
+    with open(os.path.join(path, "_context.jsonld"), "w") as f:
+        json.dump({"@context": ctx}, f, sort_keys=True)

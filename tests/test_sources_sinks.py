@@ -124,3 +124,40 @@ def test_incremental_ingest(spark, tmp_path):
     generate_transcripts(spark, 10, partitions=2).write.mode("append").parquet(tdir)
     ingest_available_now(spark, tdir, snap, ckpt, dd)
     assert spark.read.parquet(snap).count() > c1
+
+
+def test_write_jsonld_roundtrip_and_kinds(spark, tmp_path):
+    """write_jsonld → read_jsonld roundtrips TEXT/ref statements and
+    @type; NUMBER statements degrade to TEXT by design (values are
+    serialized as JSON strings — native JSON numbers would re-enter
+    float formatting); the _context sidecar is skipped by the scan."""
+    import json
+    import os
+
+    from import_spark.sources.jsonld import read_jsonld, write_jsonld
+
+    schema = "node_id string, prop string, value_type string, value string, src_file string"
+    rows = [
+        ("n/1", "typeOf", "RESOLVED_REF", "Place", "f"),
+        ("n/1", "name", "TEXT", 'with "quotes" and \\ slash', "f"),
+        ("n/1", "near", "UNRESOLVED_REF", "n/2", "f"),
+        ("n/1", "pop", "NUMBER", "42", "f"),
+    ]
+    path = str(tmp_path / "shards")
+    write_jsonld(spark.createDataFrame(rows, schema), path)
+    assert os.path.exists(os.path.join(path, "_context.jsonld"))
+    back = {
+        (r.node_id, r.prop): (r.value_type, r.value)
+        for r in read_jsonld(spark, path).collect()
+    }
+    assert back[("n/1", "typeOf")] == ("RESOLVED_REF", "Place")
+    assert back[("n/1", "name")] == ("TEXT", 'with "quotes" and \\ slash')
+    assert back[("n/1", "near")] == ("RESOLVED_REF", "n/2")
+    assert back[("n/1", "pop")] == ("TEXT", "42")
+    # every emitted line is valid JSON with @id
+    for fn in os.listdir(path):
+        if fn.startswith(("_", ".")) or not fn.startswith("part-"):
+            continue
+        for line in open(os.path.join(path, fn)):
+            if line.strip():
+                assert "@id" in json.loads(line)
