@@ -98,6 +98,63 @@ def test_checkpoint_snapshot_class_layout_and_resume(spark, tmp_path):
     assert t1 == t2
 
 
+def test_torn_snapshot_and_stale_digest_rebuild(spark, tmp_path):
+    """Crash-resume semantics (north rule: resumable from checkpoint).
+
+    The `_input_digest.json` sidecar is the snapshot's success marker —
+    it is renamed into place only after the parquet write returns, so a
+    job killed mid-snapshot leaves files WITHOUT the marker. A re-run
+    over such a torn snapshot must rebuild (never trust the files), and
+    a digest that does not match the current inputs (same run_id reused
+    for different data — the silent-corruption case) must also rebuild.
+    Both re-runs must produce the exact run-1 triple set."""
+    import json
+    import os
+
+    tr = generate_transcripts(spark, 120).cache()
+    ckpt = str(tmp_path / "ckpt")
+    out1 = run_pipeline(
+        spark, tr, dcid_dictionary(spark), checkpoint_dir=ckpt, keep_snapshot=True
+    )
+    t1 = {(r.subj, r.pred, r.obj_type, r.obj) for r in out1.triples.collect()}
+    snap = os.path.join(ckpt, "run0", "linked")
+    digest_path = os.path.join(snap, "_input_digest.json")
+
+    # torn write: marker missing, stale parquet + a half-written part
+    # file left behind by the "crashed" committer
+    os.remove(digest_path)
+    with open(os.path.join(snap, "part-99999.parquet.tmp"), "wb") as f:
+        f.write(b"\x00garbage")
+    out2 = run_pipeline(
+        spark, tr, dcid_dictionary(spark), checkpoint_dir=ckpt, keep_snapshot=True
+    )
+    assert not any(
+        r["counter"] == "resumed_from_checkpoint" for r in out2.metrics
+    ), "torn snapshot (no success marker) must rebuild, not resume"
+    t2 = {(r.subj, r.pred, r.obj_type, r.obj) for r in out2.triples.collect()}
+    assert t2 == t1
+    assert os.path.exists(digest_path)  # marker restored by the rebuild
+
+    # stale digest: marker present but recorded for OTHER inputs
+    with open(digest_path) as f:
+        good = json.load(f)
+    with open(digest_path, "w") as f:
+        json.dump({**good, "text_digest": good["text_digest"] ^ 1}, f)
+    out3 = run_pipeline(
+        spark, tr, dcid_dictionary(spark), checkpoint_dir=ckpt, keep_snapshot=True
+    )
+    assert not any(
+        r["counter"] == "resumed_from_checkpoint" for r in out3.metrics
+    ), "digest mismatch (same run_id, different input) must rebuild"
+    t3 = {(r.subj, r.pred, r.obj_type, r.obj) for r in out3.triples.collect()}
+    assert t3 == t1
+    # and the rebuilt marker is the true digest again → next run resumes
+    out4 = run_pipeline(
+        spark, tr, dcid_dictionary(spark), checkpoint_dir=ckpt, keep_snapshot=True
+    )
+    assert any(r["counter"] == "resumed_from_checkpoint" for r in out4.metrics)
+
+
 def test_per_partition_lineage(spark, tmp_path):
     """Each materialized stage writes per-partition lineage (north rule:
     per-partition lineage + counters to a checkpoint table): one row per
