@@ -277,3 +277,48 @@ def resolve_coordinates(
         "node_id", F.coalesce(F.col("_place"), fallback).alias("place_dcid")
     )
     return out.filter(F.col("place_dcid").isNotNull())
+
+
+def resolve_names(
+    nodes: DataFrame, names_table: DataFrame, broadcast_names: bool = True
+) -> DataFrame:
+    """Name-based resolution (NameResolver.java:17-98): nodes that carry
+    a ``name`` property resolve to a dcid by exact name lookup against
+    the resolution index — the reference batches the distinct name
+    working set to the Recon ``<-description->dcid`` endpoint and takes
+    the FIRST candidate per name (NameResolver.java:60-64).
+
+    Offline stand-in, same two-pass shape as derive_node_dictionary:
+    pass 1 reduces the corpus to the distinct (node, name) working set —
+    a node submits its name iff the value is TEXT or NUMBER
+    (NameResolver.getValue, :91-98); with several name rows the
+    first-wins pick is pinned to min(value) (proto insertion order does
+    not survive a shuffle). Pass 2 joins the working set against
+    ``names_table`` (name, dcid[, rank]) — the Recon index stand-in —
+    first-candidate-wins by min(rank, dcid) when a rank column encodes
+    the API's candidate order, else min(dcid).
+
+    Returns (node_id, name, dcid) hits only; unresolved nodes simply
+    don't appear (the Resolver orchestration decides their fate, as with
+    resolve_coordinates). The names dimension broadcasts by default;
+    pass broadcast_names=False past the broadcast budget and the join
+    shuffles only the node-sized working set, never the statement table.
+    """
+    submitted = (
+        nodes.filter(
+            (F.col("prop") == V.NAME) & F.col("value_type").isin("TEXT", "NUMBER")
+        )
+        .groupBy("node_id")
+        .agg(F.min("value").alias("name"))
+    )
+    key = (
+        F.struct(F.col("rank").alias("_r"), F.col("dcid").alias("dcid"))
+        if "rank" in names_table.columns
+        else F.struct(F.col("dcid").alias("_r"), F.col("dcid").alias("dcid"))
+    )
+    dim = names_table.groupBy("name").agg(F.min(key).alias("_c")).select(
+        "name", F.col("_c.dcid").alias("dcid")
+    )
+    if broadcast_names:
+        dim = F.broadcast(dim)
+    return submitted.join(dim, "name").select("node_id", "name", "dcid")

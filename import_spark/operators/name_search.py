@@ -169,7 +169,24 @@ def ngram_name_search(
         .groupBy("query", "qlen", "n_q", "ngram")
         .agg(F.count(F.lit(1)).alias("mult"))
     )
-    src = postings if max_df is None else postings.filter(F.col("df") <= max_df)
+    src = postings
+    if max_df is not None:
+        # stop-gram mode: grams whose posting list exceeds max_df are
+        # removed from BOTH sides — the postings (bounding the
+        # candidate join) and the query gram list (so the
+        # min_match_fraction threshold is taken over the informative
+        # grams only. Dropping only the posting side silently pushed
+        # legitimate matches under the threshold — one-sided capping
+        # measured 0.55 top-1 agreement vs uncapped even on queries
+        # with NO hot gram; two-sided measures 1.0 on those, with the
+        # divergence confined to queries whose ranking genuinely
+        # depends on a dropped gram (tools/ngram_probe.py))
+        hot = postings.filter(F.col("df") > max_df).select("ngram").distinct()
+        src = postings.filter(F.col("df") <= max_df)
+        qg = qg.join(F.broadcast(hot), "ngram", "left_anti")
+        qg = qg.withColumn(
+            "n_q", F.sum("mult").over(Window.partitionBy("query"))
+        )
     cand = src.join(F.broadcast(qg), "ngram").groupBy(
         "query", "qlen", "n_q", "key", "value"
     ).agg(

@@ -667,6 +667,82 @@ FROM keyed k LEFT JOIN dim d USING (lk, gk)
 """
 
 
+def q_name_resolution(spark, sf):
+    """Name-based resolution (NameResolver.java:17-98) via the REAL
+    operator (link.resolve_names): long-form name rows built from
+    customers — every 5th name is an UNRESOLVED_REF value (skipped by
+    NameResolver.getValue's TEXT/NUMBER filter), every 11th node carries
+    a second name that wins the pinned first-value pick but misses the
+    index, every 7th name is absent from the index (unresolved), and
+    every 13th name has a second rank-0 candidate (first-candidate-wins
+    takes it over the rank-1 entry)."""
+    from import_spark.operators.link import resolve_names
+
+    c = _t(spark, sf, "customer")
+    nid = F.concat(F.lit("n"), F.col("c_custkey")).alias("node_id")
+    base = c.select(
+        nid,
+        F.lit("name").alias("prop"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNRESOLVED_REF"))
+        .otherwise(F.lit("TEXT"))
+        .alias("value_type"),
+        F.col("c_name").alias("value"),
+    )
+    extra = c.filter(F.col("c_custkey") % 11 == 0).select(
+        nid,
+        F.lit("name").alias("prop"),
+        F.lit("TEXT").alias("value_type"),
+        F.concat(F.lit("AA "), F.col("c_name")).alias("value"),
+    )
+    dim = c.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("dc/c/"), F.col("c_custkey")).alias("dcid"),
+        F.lit(1).alias("rank"),
+    )
+    dup = c.filter(F.col("c_custkey") % 13 == 0).select(
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("dc/dup/"), F.col("c_custkey")).alias("dcid"),
+        F.lit(0).alias("rank"),
+    )
+    out = resolve_names(base.unionByName(extra), dim.unionByName(dup))
+    return out.orderBy("node_id")
+
+
+SQL_NAME_RESOLUTION = """
+WITH rows AS (
+  SELECT 'n' || c_custkey AS node_id,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UNRESOLVED_REF' ELSE 'TEXT' END AS value_type,
+         c_name AS value
+  FROM customer
+  UNION ALL
+  SELECT 'n' || c_custkey, 'TEXT', 'AA ' || c_name
+  FROM customer WHERE c_custkey % 11 = 0
+),
+submitted AS (
+  SELECT node_id, min(value) AS name
+  FROM rows WHERE value_type IN ('TEXT', 'NUMBER')
+  GROUP BY node_id
+),
+dim0 AS (
+  SELECT c_name AS name, 'dc/c/' || c_custkey AS dcid, 1 AS rank
+  FROM customer WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_name, 'dc/dup/' || c_custkey, 0
+  FROM customer WHERE c_custkey % 13 = 0
+),
+dim AS (
+  SELECT name, dcid FROM (
+    SELECT name, dcid,
+           row_number() OVER (PARTITION BY name ORDER BY rank, dcid) AS rn
+    FROM dim0
+  ) WHERE rn = 1
+)
+SELECT s.node_id, s.name, d.dcid
+FROM submitted s JOIN dim d USING (name)
+ORDER BY s.node_id
+"""
+
+
 # ---------------- non-SQL-expressible (rows-only check) ----------------
 
 
@@ -2371,6 +2447,8 @@ WHERE rank <= 5 ORDER BY query, rank
 
 QUERIES["ngram_name_search"] = q_ngram_name_search
 ORACLE_SQL["ngram_name_search"] = SQL_NGRAM_SEARCH
+QUERIES["name_resolution"] = q_name_resolution
+ORACLE_SQL["name_resolution"] = SQL_NAME_RESOLUTION
 
 
 def q_j9_obs_entity_type(spark, sf):

@@ -139,3 +139,68 @@ def test_nfkd_fallback(spark):
     # scores tie; value tiebreak puts id/0 first
     assert [(r.rank, r.value) for r in got] == [(1, "id/0"), (2, "id/1")]
     assert got[0].score == got[1].score
+
+
+def test_max_df_stop_gram_cap_two_sided(spark):
+    """max_df (the 100-TB stop-gram guard) removes hot grams from BOTH
+    the postings and the query gram list: a query whose discriminative
+    words are all rare must rank identically with and without the cap
+    even when every corpus key shares a stop word — dropping only the
+    posting side would push true matches under min_match_fraction."""
+    names = [(f"alpha{i:02d} beta{i:02d} incorporated", f"id/{i}") for i in range(40)]
+    ndf = spark.createDataFrame(names, "key string, value string")
+    qdf = spark.createDataFrame(
+        [("alpha07 beta07",), ("alpha23 beta23",)], "query string"
+    )
+    idx = build_name_index(ndf)
+    # every "incorporated" gram has df=40; rare grams have df ~1-5
+    uncapped = {(r.query, r.rank, r.key) for r in ngram_name_search(idx, qdf, k=3).collect()}
+    capped = {(r.query, r.rank, r.key) for r in ngram_name_search(idx, qdf, k=3, max_df=10).collect()}
+    assert capped == uncapped
+    assert ("alpha07 beta07", 1, "alpha07 beta07 incorporated") in capped
+    # and a stop-worded QUERY still matches under the cap: its match
+    # threshold is taken over the surviving (informative) grams
+    q2 = spark.createDataFrame([("alpha07 beta07 incorporated",)], "query string")
+    got = ngram_name_search(idx, q2, k=1, max_df=10).collect()
+    assert [(r.rank, r.key) for r in got] == [(1, "alpha07 beta07 incorporated")]
+
+
+def test_resolve_names_first_candidate_and_typed_value_filter(spark):
+    """NameResolver semantics (NameResolver.java:44-98): only TEXT or
+    NUMBER name values submit; the node's first-wins name is pinned to
+    min(value); the index's first candidate per name wins by rank."""
+    from import_spark.operators.link import resolve_names
+
+    nodes = spark.createDataFrame(
+        [
+            ("n1", "name", "TEXT", "santa clara"),
+            ("n2", "name", "UNRESOLVED_REF", "santa clara"),  # never submits
+            ("n3", "name", "NUMBER", "95054"),
+            ("n4", "name", "TEXT", "zz unknown"),  # no index hit
+            ("n5", "name", "TEXT", "santa clara"),
+            ("n5", "name", "TEXT", "alviso"),  # min(value) wins the pick
+            ("n6", "other", "TEXT", "santa clara"),  # not a name prop
+        ],
+        "node_id string, prop string, value_type string, value string",
+    )
+    names = spark.createDataFrame(
+        [
+            ("santa clara", "geoId/0669084", 1),
+            ("santa clara", "wikidataId/Q2manyx", 0),  # rank 0: first candidate
+            ("95054", "zip/95054", 1),
+            ("alviso", "geoId/alviso", 1),
+        ],
+        "name string, dcid string, rank int",
+    )
+    got = {(r.node_id, r.dcid) for r in resolve_names(nodes, names).collect()}
+    assert got == {
+        ("n1", "wikidataId/Q2manyx"),
+        ("n3", "zip/95054"),
+        ("n5", "geoId/alviso"),
+    }
+    # without a rank column: deterministic min(dcid) first-wins
+    got2 = {
+        (r.node_id, r.dcid)
+        for r in resolve_names(nodes, names.drop("rank")).collect()
+    }
+    assert ("n1", "geoId/0669084") in got2
