@@ -441,3 +441,149 @@ def check_gate(nodes: DataFrame) -> DataFrame:
     LEVEL_ERROR rows (failed_node_ids)."""
     flagged = check_nodes(nodes).select("node_id").distinct()
     return nodes.join(flagged, "node_id", "left_anti")
+
+
+def statvar_collisions(nodes: DataFrame) -> DataFrame:
+    """StatVar dcid-collision tracking (StatVarState.java:116-189, wired
+    into McfChecker): the same curated dcid assigned to StatVars with
+    different CONTENT (generated content-hash dcids differ) raises
+    ``Sanity_SameDcidForDifferentStatVars``; the same content under
+    different curated dcids raises ``Sanity_DifferentDcidsForSameStatVar``.
+
+    Spark shape: pass 1 reduces the statement table to the StatVar
+    working set — (node_id, curated, generated) — distributedly (one
+    semi-join + one packed Arrow batch per partition; StatVars are
+    dimension-sized even at 10^12 observations, which is the premise the
+    reference itself builds on by holding both maps in process memory).
+    Pass 2 replays the reference's ORDER-DEPENDENT two-map registration
+    fold exactly (first registration wins; a conflicting node errors and
+    registers nothing, StatVarState.java:137-189) on the driver over the
+    node_id-sorted working set — the deterministic stand-in for the
+    reference's file order.
+
+    Returns (node_id, level, counter, message) error rows.
+    """
+    import pandas as pd
+
+    from import_spark.functions.dcids import statvar_dcid
+
+    spark = nodes.sparkSession
+    sv_ids = (
+        nodes.filter(
+            (F.col("prop") == "typeOf") & (F.col("value") == "StatisticalVariable")
+        )
+        .select("node_id")
+        .distinct()
+    )
+    packed = (
+        nodes.join(sv_ids, "node_id", "left_semi")
+        .groupBy("node_id")
+        .agg(F.sort_array(F.collect_list(F.struct("prop", "value"))).alias("pvl"))
+    )
+
+    def derive(batches):
+        for pdf in batches:
+            out = []
+            for nid, pvl in zip(pdf["node_id"], pdf["pvl"]):
+                pvs: dict = {}
+                for d in pvl:  # sorted → first-wins pinned to min(value)
+                    pvs.setdefault(d["prop"], d["value"])
+                curated = pvs.get("dcid", "")
+                if not curated:
+                    continue  # handled by the checker's missing-dcid rule
+                generated = statvar_dcid(pvs)
+                if not generated:
+                    continue  # malformed SV — the checker flags it
+                out.append([nid, curated, generated])
+            yield pd.DataFrame(out, columns=["node_id", "curated", "generated"])
+
+    working_df = packed.mapInPandas(
+        derive, schema="node_id string, curated string, generated string"
+    ).localCheckpoint()
+    from import_spark.functions.size_gate import (
+        DRIVER_COLLECT_BUDGET_BYTES,
+        fits_bytes,
+    )
+
+    n_sv = working_df.count()
+    if not fits_bytes(working_df, n_sv, DRIVER_COLLECT_BUDGET_BYTES):
+        # Degenerate scale (more StatVar bytes than the driver budget —
+        # the reference's in-memory maps would not survive this input
+        # either): first registration approximated by min(node_id) per
+        # key, exact except when error chains re-free a key
+        # (test_statvar_collisions_fold_semantics pins the exact fold
+        # the driver path replays).
+        from pyspark.sql import Window as _W
+
+        w_cur = _W.partitionBy("curated").orderBy("node_id")
+        same = (
+            working_df.withColumn("_fg", F.first("generated").over(w_cur))
+            .filter(F.col("generated") != F.col("_fg"))
+            .select(
+                "node_id",
+                F.lit(LEVEL_ERROR).alias("level"),
+                F.lit("Sanity_SameDcidForDifferentStatVars").alias("counter"),
+                F.concat(
+                    F.lit("Found same curated ID for different StatVars :: curatedDcid: '"),
+                    F.col("curated"), F.lit("', node: '"), F.col("node_id"), F.lit("'"),
+                ).alias("message"),
+            )
+        )
+        reg = working_df.withColumn("_fg", F.first("generated").over(w_cur)).filter(
+            F.col("generated") == F.col("_fg")
+        )
+        w_gen = _W.partitionBy("generated").orderBy("node_id")
+        diff = (
+            reg.withColumn("_fc", F.first("curated").over(w_gen))
+            .filter(F.col("curated") != F.col("_fc"))
+            .select(
+                "node_id",
+                F.lit(LEVEL_ERROR).alias("level"),
+                F.lit("Sanity_DifferentDcidsForSameStatVar").alias("counter"),
+                F.concat(
+                    F.lit("Found different curated IDs for same StatVar :: dcid1: '"),
+                    F.col("_fc"), F.lit("', dcid2: '"), F.col("curated"),
+                    F.lit("', node: '"), F.col("node_id"), F.lit("'"),
+                ).alias("message"),
+            )
+        )
+        return same.unionByName(diff)
+    working = working_df.collect()
+
+    curated_to_gen: dict[str, str] = {}
+    gen_to_curated: dict[str, str] = {}
+    errors: list[tuple[str, str, str, str]] = []
+    for r in sorted(working, key=lambda r: r["node_id"]):
+        nid, curated, generated = r["node_id"], r["curated"], r["generated"]
+        existing_gen = curated_to_gen.get(curated)
+        if existing_gen is not None and existing_gen != generated:
+            errors.append(
+                (
+                    nid,
+                    LEVEL_ERROR,
+                    "Sanity_SameDcidForDifferentStatVars",
+                    "Found same curated ID for different StatVars :: "
+                    f"curatedDcid: '{curated}', node: '{nid}'",
+                )
+            )
+            continue
+        existing_cur = gen_to_curated.get(generated)
+        if existing_cur is not None and existing_cur != curated:
+            errors.append(
+                (
+                    nid,
+                    LEVEL_ERROR,
+                    "Sanity_DifferentDcidsForSameStatVar",
+                    "Found different curated IDs for same StatVar :: "
+                    f"dcid1: '{existing_cur}', dcid2: '{curated}', node: '{nid}'",
+                )
+            )
+            continue
+        curated_to_gen.setdefault(curated, generated)
+        gen_to_curated.setdefault(generated, curated)
+    return spark.createDataFrame(
+        pd.DataFrame(errors, columns=["node_id", "level", "counter", "message"])
+        if errors
+        else pd.DataFrame(columns=["node_id", "level", "counter", "message"]),
+        "node_id string, level string, counter string, message string",
+    )

@@ -86,6 +86,12 @@ def run_lint(
     # from that one materialization by excluding the StatChecker-time
     # counter (the only LEVEL_ERROR emitted outside the suite).
     errors = check_nodes(nodes).select("node_id", "level", "counter", "message")
+    # StatVar dcid-collision tracking (StatVarState.java:116-189, wired
+    # into the reference checker): processNodes-time LEVEL_ERRORs, so
+    # they count against NumNodeSuccesses like any suite failure
+    from import_spark.operators.mcf_checker import statvar_collisions
+
+    errors = errors.unionByName(statvar_collisions(nodes))
 
     # 3a. same-LOGICAL-observation value conflicts: key = place x sv x
     # facet x date (SVOBS_VALUE_KEY_PROPS, StatChecker.java:55-63) —

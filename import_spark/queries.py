@@ -3290,3 +3290,108 @@ SELECT 'nation/' || CAST(n_nationkey AS VARCHAR), 'locatedIn', 'RESOLVED_REF',
 
 QUERIES["s5_jsonld_export_roundtrip"] = q_s5_jsonld_export_roundtrip
 ORACLE_SQL["s5_jsonld_export_roundtrip"] = SQL_S5_EXPORT
+
+
+def q_statvar_collisions(spark, sf):
+    """StatVar dcid-collision tracking (StatVarState.java:116-189) via
+    the REAL operator (mcf_checker.statvar_collisions): long-form
+    StatVar nodes built from parts — even partkeys share a curated dcid
+    per 6-block with DIFFERENT content (Sanity_SameDcidForDifferentStatVars
+    on every non-first member), odd partkeys appear twice with identical
+    content under two curated dcids (Sanity_DifferentDcidsForSameStatVar
+    on the second). The oracle replays the reference's first-registration
+    fold; generated-dcid equality reduces to content equality because
+    only measuredProperty varies (farmhash is injective on these keys —
+    the hash itself never reaches the output)."""
+    from import_spark.operators.mcf_checker import statvar_collisions
+
+    p = _t(spark, sf, "part")
+
+    def node_rows(df, nid, curated, mp):
+        return df.select(
+            nid.alias("node_id"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("typeOf").alias("prop"), F.lit("StatisticalVariable").alias("value")),
+                    F.struct(F.lit("dcid").alias("prop"), curated.alias("value")),
+                    F.struct(F.lit("populationType").alias("prop"), F.lit("Person").alias("value")),
+                    F.struct(F.lit("measuredProperty").alias("prop"), mp.alias("value")),
+                    F.struct(F.lit("statType").alias("prop"), F.lit("measuredValue").alias("value")),
+                )
+            ).alias("pv"),
+        ).select(
+            "node_id",
+            F.col("pv.prop").alias("prop"),
+            F.lit("TEXT").alias("value_type"),
+            F.col("pv.value").alias("value"),
+        )
+
+    k = F.col("p_partkey")
+    even = node_rows(
+        p.filter(k % 2 == 0),
+        F.format_string("sv%06d", k),
+        F.concat(F.lit("svc/"), (k - k % 6).cast("string")),
+        F.concat(F.lit("mp"), k.cast("string")),
+    )
+    odd_a = node_rows(
+        p.filter(k % 2 == 1),
+        F.format_string("a%06d", k),
+        F.concat(F.lit("c1/"), k.cast("string")),
+        F.concat(F.lit("omp"), k.cast("string")),
+    )
+    odd_b = node_rows(
+        p.filter(k % 2 == 1),
+        F.format_string("b%06d", k),
+        F.concat(F.lit("c2/"), k.cast("string")),
+        F.concat(F.lit("omp"), k.cast("string")),
+    )
+    nodes = even.unionByName(odd_a).unionByName(odd_b)
+    return statvar_collisions(nodes).orderBy("node_id")
+
+
+SQL_STATVAR_COLLISIONS = """
+WITH allsv AS (
+  SELECT printf('sv%06d', p_partkey) AS node_id,
+         'svc/' || CAST(p_partkey - p_partkey % 6 AS VARCHAR) AS curated,
+         'mp' || CAST(p_partkey AS VARCHAR) AS content
+  FROM part WHERE p_partkey % 2 = 0
+  UNION ALL
+  SELECT printf('a%06d', p_partkey), 'c1/' || CAST(p_partkey AS VARCHAR),
+         'omp' || CAST(p_partkey AS VARCHAR)
+  FROM part WHERE p_partkey % 2 = 1
+  UNION ALL
+  SELECT printf('b%06d', p_partkey), 'c2/' || CAST(p_partkey AS VARCHAR),
+         'omp' || CAST(p_partkey AS VARCHAR)
+  FROM part WHERE p_partkey % 2 = 1
+),
+ranked AS (
+  SELECT *,
+         first_value(content) OVER (PARTITION BY curated ORDER BY node_id) AS c_first_content
+  FROM allsv
+),
+same_err AS (
+  SELECT node_id, 'LEVEL_ERROR' AS level,
+         'Sanity_SameDcidForDifferentStatVars' AS counter,
+         'Found same curated ID for different StatVars :: curatedDcid: ''' ||
+           curated || ''', node: ''' || node_id || '''' AS message
+  FROM ranked WHERE content <> c_first_content
+),
+reg AS (SELECT * FROM ranked WHERE content = c_first_content),
+ranked2 AS (
+  SELECT *,
+         first_value(curated) OVER (PARTITION BY content ORDER BY node_id) AS g_first_cur
+  FROM reg
+),
+diff_err AS (
+  SELECT node_id, 'LEVEL_ERROR' AS level,
+         'Sanity_DifferentDcidsForSameStatVar' AS counter,
+         'Found different curated IDs for same StatVar :: dcid1: ''' ||
+           g_first_cur || ''', dcid2: ''' || curated || ''', node: ''' ||
+           node_id || '''' AS message
+  FROM ranked2 WHERE curated <> g_first_cur
+)
+SELECT * FROM same_err UNION ALL SELECT * FROM diff_err ORDER BY node_id
+"""
+
+QUERIES["statvar_collisions"] = q_statvar_collisions
+ORACLE_SQL["statvar_collisions"] = SQL_STATVAR_COLLISIONS

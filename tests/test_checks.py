@@ -212,3 +212,69 @@ def test_stats_checks_total_on_garbage(spark):
         value_inconsistencies,
     ):
         op(obs).collect()  # must not raise
+
+
+def test_statvar_collisions_fold_semantics(spark):
+    """StatVarState.check replay (StatVarState.java:137-189): an
+    erroring node registers NOTHING, so a later node reusing the
+    erroring node's curated dcid with new content passes — the chained
+    case where a naive per-key first-wins grouping would over-flag."""
+    from import_spark.operators.mcf_checker import statvar_collisions
+
+    def sv(nid, curated, mp):
+        return [
+            (nid, "typeOf", "TEXT", "StatisticalVariable"),
+            (nid, "dcid", "TEXT", curated),
+            (nid, "populationType", "TEXT", "Person"),
+            (nid, "measuredProperty", "TEXT", mp),
+            (nid, "statType", "TEXT", "measuredValue"),
+        ]
+
+    rows = (
+        sv("n1", "c1", "mpA")       # registers c1<->hash(mpA)
+        + sv("n2", "c2", "mpA")     # same content, new curated -> DifferentDcids; registers nothing
+        + sv("n3", "c2", "mpB")     # c2 was never registered -> passes (chained case)
+        + sv("n4", "c1", "mpC")     # c1 registered with mpA -> SameDcid
+        + sv("n5", "", "mpD")       # no curated dcid -> skipped here (checker flags it)
+    )
+    nodes = spark.createDataFrame(
+        rows, "node_id string, prop string, value_type string, value string"
+    )
+    got = {(r.node_id, r.counter) for r in statvar_collisions(nodes).collect()}
+    assert got == {
+        ("n2", "Sanity_DifferentDcidsForSameStatVar"),
+        ("n4", "Sanity_SameDcidForDifferentStatVars"),
+    }
+    msgs = {r.node_id: r.message for r in statvar_collisions(nodes).collect()}
+    assert msgs["n2"] == (
+        "Found different curated IDs for same StatVar :: "
+        "dcid1: 'c1', dcid2: 'c2', node: 'n2'"
+    )
+
+
+def test_statvar_collisions_distributed_fallback(spark, monkeypatch):
+    """Past the driver byte budget the collision checks run as window
+    aggregates (min-node_id first registration — exact on chain-free
+    inputs); same verdicts as the driver fold here."""
+    import import_spark.functions.size_gate as gate
+    from import_spark.operators.mcf_checker import statvar_collisions
+
+    def sv(nid, curated, mp):
+        return [
+            (nid, "typeOf", "TEXT", "StatisticalVariable"),
+            (nid, "dcid", "TEXT", curated),
+            (nid, "populationType", "TEXT", "Person"),
+            (nid, "measuredProperty", "TEXT", mp),
+            (nid, "statType", "TEXT", "measuredValue"),
+        ]
+
+    rows = sv("n1", "c1", "mpA") + sv("n2", "c2", "mpA") + sv("n4", "c1", "mpC")
+    nodes = spark.createDataFrame(
+        rows, "node_id string, prop string, value_type string, value string"
+    )
+    monkeypatch.setattr(gate, "fits_bytes", lambda *a, **k: False)
+    got = {(r.node_id, r.counter) for r in statvar_collisions(nodes).collect()}
+    assert got == {
+        ("n2", "Sanity_DifferentDcidsForSameStatVar"),
+        ("n4", "Sanity_SameDcidForDifferentStatVars"),
+    }
