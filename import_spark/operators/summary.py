@@ -110,6 +110,67 @@ def place_series_summary(svobs: DataFrame) -> DataFrame:
     )
 
 
+# CSVReportWriter.ReportHeaders (CSVReportWriter.java:16-29) — exact
+# enum names, including the lower-case `observationPeriods` oddity
+_CSV_HEADERS = [
+    "StatVar", "NumPlaces", "NumObservations", "MinValue", "MaxValue",
+    "NumObservationsDates", "MinDate", "MaxDate", "MeasurementMethods",
+    "Units", "ScalingFactors", "observationPeriods",
+]
+
+
+def _jdouble(v) -> str:
+    """Java Double.toString twin for the summary's min/max cells —
+    locked to CSVReportWriterTest's vectors (10.0, 5.0, NaN); values a
+    string-valued obs column carries pass through untouched."""
+    if v is None:
+        return "NaN"
+    try:
+        f = float(v)
+    except (TypeError, ValueError):
+        return str(v)
+    if f != f:
+        return "NaN"
+    if f == int(f) and abs(f) < 1e7:
+        return f"{int(f)}.0"
+    return repr(f)
+
+
+def _jcsv(field: str) -> str:
+    """commons-csv CSVFormat.DEFAULT quoting: quote only fields that
+    carry a comma, quote, CR or LF; embedded quotes double."""
+    if any(c in field for c in ',"\r\n'):
+        return '"' + field.replace('"', '""') + '"'
+    return field
+
+
+def summary_csv(rows: list[dict]) -> str:
+    """The summary_report.csv byte format (CSVReportWriter.java:31-58,
+    bit-exact vs CSVReportWriterTest.EXPECTED_FILESTREAM): \\r\\n
+    records, Java double rendering for min/max, ``[a, b]``
+    Set.toString lists (order pinned by statvar_summary's sort_array —
+    the reference's Set order is unspecified), empty date bounds as
+    empty strings."""
+    jset = lambda xs: "[" + ", ".join(xs or []) + "]"  # noqa: E731
+    out = [",".join(_CSV_HEADERS)]
+    for r in rows:
+        out.append(
+            ",".join(
+                _jcsv(str(x))
+                for x in [
+                    r["stat_var"], r["num_places"], r["num_observations"],
+                    _jdouble(r["min_value"]), _jdouble(r["max_value"]),
+                    r["num_dates"],
+                    (r["min_date"] or "") if r["num_dates"] else "",
+                    (r["max_date"] or "") if r["num_dates"] else "",
+                    jset(r["measurementMethods"]), jset(r["units"]),
+                    jset(r["scalingFactors"]), jset(r["observationPeriods"]),
+                ]
+            )
+        )
+    return "\r\n".join(out) + "\r\n"
+
+
 def write_summary_report(
     svobs: DataFrame, out_dir: str, max_series: int = 10_000
 ) -> dict:
@@ -118,29 +179,8 @@ def write_summary_report(
     os.makedirs(out_dir, exist_ok=True)
     sv = statvar_summary(svobs)
     rows = [r.asDict() for r in sv.orderBy("stat_var").collect()]
-    header = [
-        "StatVar", "NumPlaces", "NumObservations", "MinValue", "MaxValue",
-        "NumUniqueDates", "MinDate", "MaxDate", "MeasurementMethods",
-        "Units", "ScalingFactors", "ObservationPeriods",
-    ]
-    with open(os.path.join(out_dir, SUMMARY_REPORT_CSV), "w") as f:
-        f.write(",".join(header) + "\n")
-        for r in rows:
-            f.write(
-                ",".join(
-                    str(x)
-                    for x in [
-                        r["stat_var"], r["num_places"], r["num_observations"],
-                        r["min_value"], r["max_value"], r["num_dates"],
-                        r["min_date"], r["max_date"],
-                        "[%s]" % " ".join(r["measurementMethods"] or []),
-                        "[%s]" % " ".join(r["units"] or []),
-                        "[%s]" % " ".join(r["scalingFactors"] or []),
-                        "[%s]" % " ".join(r["observationPeriods"] or []),
-                    ]
-                )
-                + "\n"
-            )
+    with open(os.path.join(out_dir, SUMMARY_REPORT_CSV), "w", newline="") as f:
+        f.write(summary_csv(rows))
     series = [
         r.asDict()
         for r in place_series_summary(svobs).orderBy("place", "stat_var").limit(max_series).collect()

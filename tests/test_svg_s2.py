@@ -193,3 +193,36 @@ def test_summary_report(spark, tmp_path):
     assert "<td>Count_Person</td>" in html
     assert "geoId/06" in html and "<svg" in html and "<polyline" in html
     assert "<td>2019</td><td>10.0</td>" in html.replace("</td>\n<td>", "</td><td>")
+
+
+def test_summary_csv_reference_golden():
+    """Bit-exact vs the reference's own writer golden
+    (CSVReportWriterTest.java EXPECTED_FILESTREAM): \\r\\n records,
+    Java double rendering (10.0 / NaN), [a, b] set lists, empty date
+    bounds when no dates were seen."""
+    from import_spark.operators.summary import summary_csv
+
+    rows = [
+        dict(stat_var="Var1", num_places=0, num_observations=6,
+             min_value=10, max_value=None, num_dates=0, min_date=None,
+             max_date=None, measurementMethods=["CensusACS5YrSurvey"],
+             units=[], scalingFactors=[], observationPeriods=[]),
+        dict(stat_var="Var2", num_places=0, num_observations=2,
+             min_value=5, max_value=None, num_dates=2, min_date="2020",
+             max_date="2025", measurementMethods=["CensusACS5YrSurvey"],
+             units=[], scalingFactors=[], observationPeriods=[]),
+    ]
+    expected = (
+        "StatVar,NumPlaces,NumObservations,MinValue,MaxValue,"
+        "NumObservationsDates,MinDate,MaxDate,MeasurementMethods,Units,"
+        "ScalingFactors,observationPeriods\r\n"
+        "Var1,0,6,10.0,NaN,0,,,[CensusACS5YrSurvey],[],[],[]\r\n"
+        "Var2,0,2,5.0,NaN,2,2020,2025,[CensusACS5YrSurvey],[],[],[]"
+    )
+    assert summary_csv(rows).strip() == expected
+    # commons-csv DEFAULT quoting: comma-bearing fields quote, quotes double
+    from import_spark.operators.summary import _jcsv
+
+    assert _jcsv('a,b') == '"a,b"'
+    assert _jcsv('say "hi"') == '"say ""hi"""'
+    assert _jcsv('plain') == 'plain'
