@@ -3395,3 +3395,64 @@ SELECT * FROM same_err UNION ALL SELECT * FROM diff_err ORDER BY node_id
 
 QUERIES["statvar_collisions"] = q_statvar_collisions
 ORACLE_SQL["statvar_collisions"] = SQL_STATVAR_COLLISIONS
+
+
+def q_simple_metadata_validation(spark, sf):
+    """MetadataValidator.validate as a plan (validation.py:25-162):
+    nations < 20 define Provenance nodes via typeOf triples, only even
+    nationkeys carry a non-empty source link, the config references
+    the provenances of nations < 10 plus one undefined dcid. Expected
+    errors: MISSING_PROVENANCE for the undefined reference,
+    MISSING_SOURCE for every odd-keyed defined provenance. The whole
+    pass is one filtered scan + one hash aggregate over the triples."""
+    from import_spark.operators.metadata_validation import validate_metadata
+
+    n = _t(spark, sf, "nation").where(F.col("n_nationkey") < 20)
+    prov = F.concat(F.lit("prov/"), F.col("n_name"))
+    type_triples = n.select(
+        prov.alias("subject_id"),
+        F.lit("dcs:typeOf").alias("predicate"),
+        F.lit("dcid:Provenance").alias("object_id"),
+        F.lit(None).cast("string").alias("object_value"),
+    )
+    source_triples = n.where(F.col("n_nationkey") % 2 == 0).select(
+        prov.alias("subject_id"),
+        F.lit("source").alias("predicate"),
+        F.lit(None).cast("string").alias("object_id"),
+        F.concat(F.lit("src/"), F.col("n_name")).alias("object_value"),
+    )
+    # config is driver-side O(entries) state, as in the reference;
+    # nation is a 25-row dimension table
+    names = sorted(
+        r["n_name"] for r in n.where(F.col("n_nationkey") < 10).select("n_name").collect()
+    )
+    config = {
+        "inputFiles": [
+            {"pattern": f"{name}.csv", "provenance": f"dcid:prov/{name}"}
+            for name in names
+        ]
+        + [{"pattern": "orphan.csv", "provenance": "dcid:prov/MISSING_X"}]
+    }
+    return validate_metadata(
+        spark, config, type_triples.unionByName(source_triples)
+    )
+
+
+SQL_SIMPLE_METADATA_VALIDATION = """
+WITH defined AS (
+  SELECT 'dcid:prov/' || n_name AS node, (n_nationkey % 2 = 0) AS has_source
+  FROM nation WHERE n_nationkey < 20
+),
+referenced AS (
+  SELECT 'dcid:prov/' || n_name AS node FROM nation WHERE n_nationkey < 10
+  UNION ALL SELECT 'dcid:prov/MISSING_X'
+)
+SELECT 'MISSING_PROVENANCE' AS error_type, node FROM referenced
+WHERE node NOT IN (SELECT node FROM defined)
+UNION ALL
+SELECT 'MISSING_SOURCE', node FROM defined WHERE NOT has_source
+ORDER BY error_type, node
+"""
+
+QUERIES["simple_metadata_validation"] = q_simple_metadata_validation
+ORACLE_SQL["simple_metadata_validation"] = SQL_SIMPLE_METADATA_VALIDATION
