@@ -3456,3 +3456,171 @@ ORDER BY error_type, node
 
 QUERIES["simple_metadata_validation"] = q_simple_metadata_validation
 ORACLE_SQL["simple_metadata_validation"] = SQL_SIMPLE_METADATA_VALIDATION
+
+
+def _calc_inputs(spark, sf):
+    """Observation + TimeSeries tables for the calculated-StatVar
+    queries: every order contributes an Amount_Order row (totalprice)
+    and a Count_Order row ((orderkey%7)+1) under per-priority facets."""
+    o = _t(spark, sf, "orders")
+    ent = F.concat(F.lit("o/"), F.col("o_orderkey").cast("string"))
+    date = F.date_format("o_orderdate", "yyyy-MM-dd")
+    pr = F.substring("o_orderpriority", 1, 1)
+    obs = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("Amount_Order").alias("variable_measured"),
+                    ent.alias("entity1"),
+                    F.lit("").alias("extra_entities_id"),
+                    F.lit("f1").alias("facet_id"),
+                    date.alias("date"),
+                    F.col("o_totalprice").cast("string").alias("value"),
+                ),
+                F.struct(
+                    F.lit("Count_Order").alias("variable_measured"),
+                    ent.alias("entity1"),
+                    F.lit("").alias("extra_entities_id"),
+                    F.lit("f2").alias("facet_id"),
+                    date.alias("date"),
+                    ((F.col("o_orderkey") % 7) + 1).cast("string").alias("value"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    def _facet(mm):
+        return F.struct(
+            F.lit("p/in").alias("provenance"),
+            mm.alias("measurementMethod"),
+            F.lit(None).cast("string").alias("unit"),
+            F.lit(None).cast("string").alias("observationPeriod"),
+            F.lit(None).cast("string").alias("scalingFactor"),
+        )
+
+    entities = F.concat(F.lit('["'), ent, F.lit('"]'))
+    ts = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("Amount_Order").alias("variable_measured"),
+                    ent.alias("entity1"),
+                    F.lit("").alias("extra_entities_id"),
+                    F.lit("f1").alias("facet_id"),
+                    entities.alias("entities"),
+                    _facet(F.concat(F.lit("Amt_"), pr)).alias("facet"),
+                ),
+                F.struct(
+                    F.lit("Count_Order").alias("variable_measured"),
+                    ent.alias("entity1"),
+                    F.lit("").alias("extra_entities_id"),
+                    F.lit("f2").alias("facet_id"),
+                    entities.alias("entities"),
+                    _facet(F.concat(F.lit("Cnt_"), pr)).alias("facet"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return obs, ts
+
+
+_CALC_SPEC = [
+    {
+        "operation": "DIVIDE",
+        "multiplier": 2,
+        "input1": {"sv_regex": "Amount_.*", "measurement_method_regex": "Amt_.*"},
+        "input2": {"sv_regex": "Count_Order", "measurement_method_regex": "Cnt_.*"},
+        "output": {
+            "sv_prefix": "calc/",
+            "measurement_method_prefix": "dcAggregate/Calc_",
+            "facet_info": {"unit": "USDPer"},
+        },
+    }
+]
+
+
+def _calc_result(spark, sf):
+    from import_spark.operators.calculations import calculate_stat_vars
+
+    obs, ts = _calc_inputs(spark, sf)
+    return calculate_stat_vars(obs, ts, _CALC_SPEC, "p/out", value_as_string=False)
+
+
+def q_statvar_calculation(spark, sf):
+    """Calculated StatVars — the observation export
+    (stat_var_calculation_generator.py:55-378): DIVIDE with a
+    multiplier over the (entity, extra, date)-joined SV pair,
+    prefix-derived output SV/mm names, FARM_FINGERPRINT facet ids.
+    Value kept as a double (IEEE-identical on both engines; the
+    Spanner STRING cast is pytest-gated)."""
+    return _calc_result(spark, sf).observations
+
+
+def q_statvar_calculation_ts(spark, sf):
+    """Calculated StatVars — the DISTINCT TimeSeries metadata export
+    (generator:236-295), facet struct projected to columns."""
+    ts = _calc_result(spark, sf).timeseries
+    return ts.select(
+        "variable_measured",
+        "entities",
+        "extra_entities_id",
+        "facet_id",
+        F.col("facet.provenance").alias("facet_provenance"),
+        F.col("facet.measurementMethod").alias("facet_mm"),
+        F.col("facet.unit").alias("facet_unit"),
+    )
+
+
+def _calc_fid_values() -> str:
+    """The 5 output facet fingerprints, precomputed by the pure-Python
+    FarmHash twin (Guava-bit-parity-gated in tests/test_farmhash.py) —
+    the same cross-engine exemption as the c1 fixture: DuckDB has no
+    FARM_FINGERPRINT."""
+    from import_spark.operators.calculations import (
+        facet_fingerprint_key,
+        signed_farm_fingerprint,
+    )
+
+    rows = []
+    for p in "12345":
+        key = facet_fingerprint_key("p/out", f"dcAggregate/Calc_Cnt_{p}", None, None, "USDPer")
+        rows.append(f"('{p}', '{signed_farm_fingerprint(key)}')")
+    return ", ".join(rows)
+
+
+SQL_STATVAR_CALCULATION = f"""
+WITH fid(pr, fid) AS (VALUES {_calc_fid_values()}),
+base AS (
+  SELECT 'o/' || CAST(o_orderkey AS VARCHAR) AS entity1,
+         strftime(o_orderdate, '%Y-%m-%d') AS date,
+         o_totalprice,
+         CAST((o_orderkey % 7) + 1 AS DOUBLE) AS cnt,
+         substr(o_orderpriority, 1, 1) AS pr
+  FROM orders
+)
+SELECT 'calc/Amount_Order_Amt_' || pr AS variable_measured,
+       entity1,
+       '' AS extra_entities_id,
+       fid.fid AS facet_id,
+       date,
+       (o_totalprice / cnt) * 2.0 AS value
+FROM base JOIN fid USING (pr)
+"""
+
+SQL_STATVAR_CALCULATION_TS = f"""
+WITH fid(pr, fid) AS (VALUES {_calc_fid_values()})
+SELECT DISTINCT
+       'calc/Amount_Order_Amt_' || substr(o_orderpriority, 1, 1) AS variable_measured,
+       '["o/' || CAST(o_orderkey AS VARCHAR) || '"]' AS entities,
+       '' AS extra_entities_id,
+       fid.fid AS facet_id,
+       'p/out' AS facet_provenance,
+       'dcAggregate/Calc_Cnt_' || substr(o_orderpriority, 1, 1) AS facet_mm,
+       'USDPer' AS facet_unit
+FROM orders JOIN fid ON fid.pr = substr(o_orderpriority, 1, 1)
+"""
+
+QUERIES["statvar_calculation"] = q_statvar_calculation
+ORACLE_SQL["statvar_calculation"] = SQL_STATVAR_CALCULATION
+QUERIES["statvar_calculation_ts"] = q_statvar_calculation_ts
+ORACLE_SQL["statvar_calculation_ts"] = SQL_STATVAR_CALCULATION_TS
