@@ -3624,3 +3624,128 @@ QUERIES["statvar_calculation"] = q_statvar_calculation
 ORACLE_SQL["statvar_calculation"] = SQL_STATVAR_CALCULATION
 QUERIES["statvar_calculation_ts"] = q_statvar_calculation_ts
 ORACLE_SQL["statvar_calculation_ts"] = SQL_STATVAR_CALCULATION_TS
+
+
+def _entity_agg_result(spark, sf):
+    """Edge table synthesized from orders: each order is a typed
+    entity with a location (customer), a date, a status value, a
+    numeric qty and a priority class."""
+    from import_spark.operators.entity_agg import (
+        EntityAggregationConfig,
+        aggregate_entities,
+    )
+
+    o = _t(spark, sf, "orders")
+    ent = F.concat(F.lit("o/"), F.col("o_orderkey").cast("string"))
+
+    def _e(pred, obj):
+        return F.struct(
+            ent.alias("subject_id"),
+            F.lit(pred).alias("predicate"),
+            obj.alias("object_id"),
+            F.lit("p/in").alias("provenance"),
+        )
+
+    edges = o.select(
+        F.explode(
+            F.array(
+                _e("typeOf", F.lit("Order")),
+                _e("locatedIn", F.concat(F.lit("cust/"), F.col("o_custkey").cast("string"))),
+                _e("orderDate", F.date_format("o_orderdate", "yyyy-MM-dd")),
+                _e("status", F.col("o_orderstatus")),
+                _e("qty", ((F.col("o_orderkey") % 7) + 1).cast("string")),
+                _e("priority", F.substring("o_orderpriority", 1, 1)),
+            )
+        ).alias("r")
+    ).select("r.*")
+    cfg = EntityAggregationConfig(
+        entity_types=["Order"],
+        location_props=["locatedIn"],
+        date_prop="orderDate",
+        agg_date_formats=["YYYY", "YYYY-MM"],
+        constraints=[
+            {"property": "status", "value": "F"},
+            {"property": "qty", "min": 2, "max": 5},
+            {"property": "priority", "wildcard": True},
+        ],
+        output_provenance="p/out",
+        input_provenances=["p/in"],
+    )
+    return aggregate_entities(edges, cfg)
+
+
+def q_entity_aggregation(spark, sf):
+    """Entity aggregation — the Observation export
+    (entity_aggregation_generator.py:26-473): typed-entity counts per
+    (location, YYYY/YYYY-MM bucket, wildcard priority) under a value
+    constraint and a SAFE_CAST numeric range, with the generated
+    dc/sv/gp FARM_FINGERPRINT SV dcids and per-period facet ids."""
+    return _entity_agg_result(spark, sf).observations
+
+
+def q_entity_aggregation_nodes(spark, sf):
+    """Entity aggregation — the SV Node export (dcid + generated
+    name), one row per wildcard value."""
+    return _entity_agg_result(spark, sf).nodes.select("subject_id", "name")
+
+
+def _entity_agg_sql_values() -> tuple[str, str]:
+    from import_spark.operators.calculations import signed_farm_fingerprint
+
+    dcids = []
+    for p in "12345":
+        key = (
+            f"measuredProperty=count,populationType=Order,priority={p},"
+            "qty=[2 5],statType=measuredValue,status=F"
+        )
+        dcids.append(f"('{p}', 'dc/sv/gp/{signed_farm_fingerprint(key)}')")
+    fids = []
+    for period in ("P1Y", "P1M"):
+        fids.append(
+            f"('{period}', '{signed_farm_fingerprint(f'p/out^DataCommonsAggregate^{period}^^^true')}')"
+        )
+    return ", ".join(dcids), ", ".join(fids)
+
+
+_EA_DCIDS, _EA_FIDS = _entity_agg_sql_values()
+
+SQL_ENTITY_AGGREGATION = f"""
+WITH dcid(pr, sv) AS (VALUES {_EA_DCIDS}),
+fid(period, fid) AS (VALUES {_EA_FIDS}),
+base AS (
+  SELECT 'cust/' || CAST(o_custkey AS VARCHAR) AS loc,
+         strftime(o_orderdate, '%Y-%m-%d') AS raw_date,
+         substr(o_orderpriority, 1, 1) AS pr
+  FROM orders
+  WHERE o_orderstatus = 'F' AND (o_orderkey % 7) + 1 BETWEEN 2 AND 5
+),
+buckets AS (
+  SELECT loc, pr, substr(raw_date, 1, 4) AS date, 'P1Y' AS period FROM base
+  UNION ALL
+  SELECT loc, pr, substr(raw_date, 1, 7), 'P1M' FROM base
+),
+counts AS (
+  SELECT loc, pr, date, period, COUNT(*) AS n FROM buckets GROUP BY ALL
+)
+SELECT dcid.sv AS variable_measured,
+       loc AS entity1,
+       '' AS extra_entities_id,
+       fid.fid AS facet_id,
+       date,
+       CAST(n AS VARCHAR) AS value
+FROM counts JOIN dcid USING (pr) JOIN fid USING (period)
+"""
+
+SQL_ENTITY_AGGREGATION_NODES = f"""
+WITH dcid(pr, sv) AS (VALUES {_EA_DCIDS})
+SELECT sv AS subject_id,
+       'Count of Order with status F and qty [2 5], priority=' || pr AS name
+FROM dcid
+WHERE pr IN (SELECT DISTINCT substr(o_orderpriority, 1, 1) FROM orders
+             WHERE o_orderstatus = 'F' AND (o_orderkey % 7) + 1 BETWEEN 2 AND 5)
+"""
+
+QUERIES["entity_aggregation"] = q_entity_aggregation
+ORACLE_SQL["entity_aggregation"] = SQL_ENTITY_AGGREGATION
+QUERIES["entity_aggregation_nodes"] = q_entity_aggregation_nodes
+ORACLE_SQL["entity_aggregation_nodes"] = SQL_ENTITY_AGGREGATION_NODES
