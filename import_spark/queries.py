@@ -3749,3 +3749,120 @@ QUERIES["entity_aggregation"] = q_entity_aggregation
 ORACLE_SQL["entity_aggregation"] = SQL_ENTITY_AGGREGATION
 QUERIES["entity_aggregation_nodes"] = q_entity_aggregation_nodes
 ORACLE_SQL["entity_aggregation_nodes"] = SQL_ENTITY_AGGREGATION_NODES
+
+
+def q_super_enum_rollup(spark, sf):
+    """Super-enum aggregation — observation roll-up
+    (super_enum_aggregation_generator.py:26-490): 6 source SVs on
+    child enum buckets specialize to 2 parent enums; sibling
+    observations SUM per (target SV, entity, date) under the rewritten
+    dcAggregate facet. Generated dc/<base32(farmhash)> target ids and
+    the recomputed facet id are checked value-for-value."""
+    from import_spark.operators.super_enum import super_enum_aggregate
+
+    o = _t(spark, sf, "orders")
+    k = (F.col("o_orderkey") % 6).cast("string")
+    sv = F.concat(F.lit("sv/"), k)
+    child = F.concat(F.lit("bucket/"), k)
+    ent = F.concat(F.lit("cust/"), (F.col("o_custkey") % 50).cast("string"))
+
+    def _e(subj, pred, obj):
+        return F.struct(
+            subj.alias("subject_id"),
+            F.lit(pred).alias("predicate") if isinstance(pred, str) else pred.alias("predicate"),
+            obj.alias("object_id"),
+            F.lit("p/in").alias("provenance"),
+        )
+
+    sv_edges = (
+        o.select(
+            F.explode(
+                F.array(
+                    _e(sv, "measuredProperty", F.lit("count")),
+                    _e(sv, "statType", F.lit("measuredValue")),
+                    _e(sv, "populationType", F.lit("Order")),
+                    _e(sv, "age", child),
+                    _e(
+                        child,
+                        "specializationOf",
+                        F.when(F.col("o_orderkey") % 6 < 3, F.lit("super/low")).otherwise(
+                            F.lit("super/high")
+                        ),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .distinct()
+    )
+    nodes = spark.createDataFrame([], "subject_id string, types array<string>")
+    facet = F.struct(
+        F.lit("p/in").alias("provenance"),
+        F.lit("Census").alias("measurementMethod"),
+        F.lit(None).cast("string").alias("unit"),
+        F.lit(None).cast("string").alias("observationPeriod"),
+        F.lit(None).cast("string").alias("scalingFactor"),
+    )
+    ts = (
+        o.select(
+            sv.alias("variable_measured"),
+            ent.alias("entity1"),
+            F.lit("").alias("extra_entities_id"),
+            F.lit("f").alias("facet_id"),
+            F.lit("[]").alias("entities"),
+            F.lit("p/in").alias("provenance"),
+            facet.alias("facet"),
+        )
+        .distinct()
+    )
+    obs = o.select(
+        sv.alias("variable_measured"),
+        ent.alias("entity1"),
+        F.lit("").alias("extra_entities_id"),
+        F.lit("f").alias("facet_id"),
+        F.date_format("o_orderdate", "yyyy").alias("date"),
+        (F.col("o_orderkey") % 10).cast("string").alias("value"),
+    )
+    res = super_enum_aggregate(sv_edges, nodes, ts, obs, ["p/in"])
+    return res.observations
+
+
+def _super_enum_sql_values() -> tuple[str, str]:
+    from import_spark.functions.farmhash import long_id
+    from import_spark.operators.calculations import signed_farm_fingerprint
+
+    targets = []
+    for parent, lo, hi in (("super/low", 0, 2), ("super/high", 3, 5)):
+        key = (
+            f"age={parent}measuredProperty=countpopulationType=Order"
+            "statType=measuredValue"
+        )
+        for b in range(lo, hi + 1):
+            targets.append(f"('{b}', 'dc/{long_id(key)}')")
+    fid = signed_farm_fingerprint("p/in_SuperEnum^dcAggregate/Census^^^^true")
+    return ", ".join(targets), str(fid)
+
+
+_SE_TARGETS, _SE_FID = _super_enum_sql_values()
+
+SQL_SUPER_ENUM_ROLLUP = f"""
+WITH tgt(b, sv) AS (VALUES {_SE_TARGETS}),
+base AS (
+  SELECT CAST(o_orderkey % 6 AS VARCHAR) AS b,
+         'cust/' || CAST(o_custkey % 50 AS VARCHAR) AS entity1,
+         strftime(o_orderdate, '%Y') AS date,
+         CAST(o_orderkey % 10 AS DOUBLE) AS v
+  FROM orders
+)
+SELECT tgt.sv AS variable_measured,
+       entity1,
+       '' AS extra_entities_id,
+       '{_SE_FID}' AS facet_id,
+       date,
+       CAST(SUM(v) AS VARCHAR) AS value
+FROM base JOIN tgt USING (b)
+GROUP BY tgt.sv, entity1, date
+"""
+
+QUERIES["super_enum_rollup"] = q_super_enum_rollup
+ORACLE_SQL["super_enum_rollup"] = SQL_SUPER_ENUM_ROLLUP
