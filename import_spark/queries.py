@@ -3866,3 +3866,163 @@ GROUP BY tgt.sv, entity1, date
 
 QUERIES["super_enum_rollup"] = q_super_enum_rollup
 ORACLE_SQL["super_enum_rollup"] = SQL_SUPER_ENUM_ROLLUP
+
+
+def _prov_summary_result(spark, sf):
+    """ProvenanceSummary inputs from orders: one Count_Order
+    observation per order under a per-priority facet, entities typed
+    by a 3-way modulus, names only for even entity keys (exercising
+    the null-name left join)."""
+    from import_spark.operators.provenance_summary import provenance_summary
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_custkey") % 100
+    ent = F.concat(F.lit("cust/"), F.lpad(k.cast("string"), 3, "0"))
+    pr = F.substring("o_orderpriority", 1, 1)
+    facet = F.struct(
+        F.lit("p/in").alias("provenance"),
+        F.concat(F.lit("M"), pr).alias("measurementMethod"),
+        F.lit(None).cast("string").alias("unit"),
+        F.lit("P1M").alias("observationPeriod"),
+        F.lit(None).cast("string").alias("scalingFactor"),
+    )
+    ts = (
+        o.select(
+            F.lit("Count_Order").alias("variable_measured"),
+            ent.alias("entity1"),
+            F.lit("").alias("extra_entities_id"),
+            F.concat(F.lit("f"), pr).alias("facet_id"),
+            F.lit("p/in").alias("provenance"),
+            facet.alias("facet"),
+        )
+        .distinct()
+    )
+    obs = o.select(
+        F.lit("Count_Order").alias("variable_measured"),
+        ent.alias("entity1"),
+        F.lit("").alias("extra_entities_id"),
+        F.concat(F.lit("f"), pr).alias("facet_id"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("date"),
+        (F.col("o_orderkey") % 10).cast("string").alias("value"),
+    )
+    edges = (
+        o.select(
+            ent.alias("subject_id"),
+            F.lit("typeOf").alias("predicate"),
+            F.concat(F.lit("T"), (k % 3).cast("string")).alias("object_id"),
+        )
+        .distinct()
+    )
+    nodes = (
+        o.where(k % 2 == 0)
+        .select(
+            ent.alias("subject_id"),
+            F.concat(F.lit("Name "), ent).alias("name"),
+        )
+        .distinct()
+    )
+    return provenance_summary(ts, obs, edges, nodes, ["p/in"])
+
+
+def q_provenance_summary_facets(spark, sf):
+    """ProvenanceSummary — facet-level stats
+    (provenance_summary_generator.py:56-340 step 8a): per (variable,
+    provenance, facet) min/max date and value, observation count and
+    distinct time-series count. The null boolean is projected as a
+    string: DuckDB's .df() renders NULL BOOLEAN as NaN, which the
+    hash comparator stringifies differently from None."""
+    return (
+        _prov_summary_result(spark, sf)
+        .facet_summaries.withColumn("is_dc_aggregate", F.col("is_dc_aggregate").cast("string"))
+    )
+
+
+def q_provenance_summary_places(spark, sf):
+    """ProvenanceSummary — place-type roll-up with the 3
+    lexicographically-smallest sample places and their (nullable)
+    names (steps 5-7)."""
+    res = _prov_summary_result(spark, sf).place_type_summaries
+    return res.select(
+        "variable_measured",
+        "provenance_dcid",
+        "facet_id",
+        "place_type",
+        "place_count",
+        "min_val",
+        "max_val",
+        F.concat_ws(
+            ";",
+            F.transform(
+                "top_places",
+                lambda p: F.concat(p["dcid"], F.lit("="), F.coalesce(p["name"], F.lit(""))),
+            ),
+        ).alias("top_places"),
+    )
+
+
+SQL_PROV_SUMMARY_FACETS = """
+WITH base AS (
+  SELECT substr(o_orderpriority, 1, 1) AS pr,
+         'cust/' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0') AS ent,
+         strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(o_orderkey % 10 AS DOUBLE) AS v
+  FROM orders
+)
+SELECT 'Count_Order' AS variable_measured,
+       'p/in' AS provenance_dcid,
+       'f' || pr AS facet_id,
+       'p/in' AS import_name,
+       'M' || pr AS measurement_method,
+       'P1M' AS observation_period,
+       CAST(NULL AS VARCHAR) AS unit,
+       CAST(NULL AS VARCHAR) AS scaling_factor,
+       CAST(NULL AS VARCHAR) AS is_dc_aggregate,
+       MIN(ym) AS min_date,
+       MAX(ym) AS max_date,
+       MIN(v) AS facet_min,
+       MAX(v) AS facet_max,
+       COUNT(*) AS facet_obs_count,
+       COUNT(DISTINCT ent || '|') AS facet_ts_count
+FROM base GROUP BY pr
+"""
+
+SQL_PROV_SUMMARY_PLACES = """
+WITH base AS (
+  SELECT substr(o_orderpriority, 1, 1) AS pr,
+         'cust/' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0') AS ent,
+         'T' || CAST((o_custkey % 100) % 3 AS VARCHAR) AS ty,
+         CAST(o_orderkey % 10 AS DOUBLE) AS v
+  FROM orders
+),
+stats AS (
+  SELECT 'f' || pr AS facet_id, ty, MIN(v) AS min_val, MAX(v) AS max_val,
+         COUNT(DISTINCT ent) AS place_count
+  FROM base GROUP BY pr, ty
+),
+pairs AS (SELECT DISTINCT 'f' || pr AS facet_id, ty, ent FROM base),
+tops AS (
+  SELECT facet_id, ty,
+         array_to_string(
+           list_transform(
+             (list_sort(list(ent)))[1:3],
+             e -> e || '=' || CASE WHEN CAST(substr(e, 6) AS INT) % 2 = 0
+                              THEN 'Name ' || e ELSE '' END
+           ), ';'
+         ) AS top_places
+  FROM pairs GROUP BY facet_id, ty
+)
+SELECT 'Count_Order' AS variable_measured,
+       'p/in' AS provenance_dcid,
+       s.facet_id,
+       s.ty AS place_type,
+       s.place_count,
+       s.min_val,
+       s.max_val,
+       t.top_places
+FROM stats s JOIN tops t ON s.facet_id = t.facet_id AND s.ty = t.ty
+"""
+
+QUERIES["provenance_summary_facets"] = q_provenance_summary_facets
+ORACLE_SQL["provenance_summary_facets"] = SQL_PROV_SUMMARY_FACETS
+QUERIES["provenance_summary_places"] = q_provenance_summary_places
+ORACLE_SQL["provenance_summary_places"] = SQL_PROV_SUMMARY_PLACES
