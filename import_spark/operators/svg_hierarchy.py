@@ -343,3 +343,147 @@ def generate_svg_hierarchy(
             )
         )
     return out
+
+
+def prune_single_child_svgs(
+    edges: DataFrame,
+    generated_svgs: DataFrame,
+    max_iterations: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Prune generated SVGs with at most one child, rewiring surviving
+    children to their nearest non-pruned ancestor.
+
+    Reference: the pipeline StatVarGroup generator's pruning pass
+    (pipeline/workflow/aggregation-helper/aggregation/
+    stat_var_group_generator.py:730-870): the prunable set grows
+    iteratively — a generated SVG whose DISTINCT child count in the
+    bypass-updated parent-child graph is <= 1 (including 0: empty
+    groups) becomes prunable, which can drop an ancestor's count to
+    <= 1 on the next round (<= ``max_iterations`` rounds, the
+    reference's cap). Each surviving child of a pruned SVG is
+    redirected to every non-prunable ancestor reachable through
+    prunable chains (ALL DAG paths), predicate preserved, unless that
+    edge already exists. Every edge touching a pruned SVG — including
+    ``linkedMemberOf`` pointers — is dropped. Only generated SVGs are
+    prunable; verticals/root/uncategorized are never in
+    ``generated_svgs``.
+
+    Spark shape: the SVG edge set is tiny next to the data tables, so
+    the loops are cheap; each round's frontier is localCheckpointed to
+    keep plans flat, mirroring the hierarchy walk above. Returns
+    ``(pruned_edges, pruned_svg_ids)``.
+    """
+    pred = F.col("predicate")
+    pc = (
+        edges.where(pred.isin("specializationOf", "memberOf"))
+        .select(
+            F.col("subject_id").alias("child"),
+            F.col("object_id").alias("parent"),
+            "predicate",
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    gen = generated_svgs.select("svg_id").distinct().localCheckpoint()
+    spark = edges.sparkSession
+    prunable = spark.createDataFrame([], "svg_id string")
+    current = pc
+
+    def _bypass(prunable_df: DataFrame) -> DataFrame:
+        """Rebuild the parent-child graph from the ORIGINAL edges with
+        prunable nodes bypassed (the recursive Walk CTE)."""
+        walk = pc
+        hops = pc.select(
+            F.col("child").alias("_via"), F.col("parent").alias("_up")
+        ).join(prunable_df.withColumnRenamed("svg_id", "_via"), "_via")
+        for _ in range(max_iterations):
+            ext = (
+                walk.join(hops, walk["parent"] == hops["_via"])
+                .select("child", F.col("_up").alias("parent"), "predicate")
+            )
+            grown = walk.unionByName(ext).distinct().localCheckpoint()
+            if grown.count() == walk.count():
+                walk = grown
+                break
+            walk = grown
+        return (
+            walk.join(prunable_df.withColumnRenamed("svg_id", "parent"), "parent", "left_anti")
+            .join(prunable_df.withColumnRenamed("svg_id", "child"), "child", "left_anti")
+        )
+
+    for _ in range(max_iterations):
+        cand = gen.join(prunable, "svg_id", "left_anti")
+        new = (
+            cand.join(current, cand["svg_id"] == current["parent"], "left")
+            .groupBy("svg_id")
+            .agg(F.countDistinct("child").alias("_n"))
+            .where(F.col("_n") <= 1)
+            .select("svg_id")
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        prunable = prunable.unionByName(new).distinct().localCheckpoint()
+        current = _bypass(prunable)
+
+    if prunable.isEmpty():
+        return edges, prunable
+
+    # effective parents: walk up from children of pruned SVGs through
+    # prunable chains to every non-prunable ancestor (all DAG paths)
+    p_parent = prunable.withColumnRenamed("svg_id", "parent")
+    ep = (
+        pc.join(p_parent, "parent")
+        .select(
+            F.col("child").alias("node_id"),
+            F.col("parent").alias("effective_parent"),
+            "predicate",
+        )
+        .localCheckpoint()
+    )
+    up = pc.select(F.col("child").alias("_via"), F.col("parent").alias("_up")).join(
+        prunable.withColumnRenamed("svg_id", "_via"), "_via"
+    )
+    for _ in range(max_iterations):
+        ext = (
+            ep.join(up, ep["effective_parent"] == up["_via"])
+            .select("node_id", F.col("_up").alias("effective_parent"), "predicate")
+        )
+        grown = ep.unionByName(ext).distinct().localCheckpoint()
+        if grown.count() == ep.count():
+            ep = grown
+            break
+        ep = grown
+    ep = ep.join(
+        prunable.withColumnRenamed("svg_id", "effective_parent"), "effective_parent", "left_anti"
+    ).join(prunable.withColumnRenamed("svg_id", "node_id"), "node_id", "left_anti")
+
+    # redirected edges: provenance (and any other columns) from the
+    # original edge into a pruned parent; skip already-existing edges
+    extra_cols = [c for c in edges.columns if c not in ("subject_id", "predicate", "object_id")]
+    orig_into_pruned = edges.join(
+        prunable.withColumnRenamed("svg_id", "object_id"), "object_id"
+    ).select(
+        F.col("subject_id").alias("node_id"),
+        "predicate",
+        *extra_cols,
+    )
+    redirected = (
+        ep.join(orig_into_pruned, ["node_id", "predicate"])
+        .select(
+            F.col("node_id").alias("subject_id"),
+            "predicate",
+            F.col("effective_parent").alias("object_id"),
+            *extra_cols,
+        )
+        .distinct()
+        .join(
+            edges.select("subject_id", "predicate", "object_id"),
+            ["subject_id", "predicate", "object_id"],
+            "left_anti",
+        )
+    )
+    kept = edges.join(
+        prunable.withColumnRenamed("svg_id", "subject_id"), "subject_id", "left_anti"
+    ).join(prunable.withColumnRenamed("svg_id", "object_id"), "object_id", "left_anti")
+    return kept.select(*edges.columns).unionByName(redirected.select(*edges.columns)), prunable

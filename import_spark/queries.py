@@ -4026,3 +4026,58 @@ QUERIES["provenance_summary_facets"] = q_provenance_summary_facets
 ORACLE_SQL["provenance_summary_facets"] = SQL_PROV_SUMMARY_FACETS
 QUERIES["provenance_summary_places"] = q_provenance_summary_places
 ORACLE_SQL["provenance_summary_places"] = SQL_PROV_SUMMARY_PLACES
+
+
+def q_svg_prune(spark, sf):
+    """Single-child SVG pruning (pipeline stat_var_group_generator.py:
+    730-870) over a constructed hierarchy: per nation a chain
+    root <- g/N/b <- g/N/a with one SV (odd keys) or two SVs (even
+    keys) under g/N/a. Odd chains collapse entirely (the SV rewires to
+    the root); even chains keep g/N/a (two children) attached to the
+    root. The oracle states the closed-form expected edge set."""
+    from import_spark.operators.svg_hierarchy import prune_single_child_svgs
+
+    n = _t(spark, sf, "nation")
+    key = F.col("n_nationkey").cast("string")
+    ga = F.concat(F.lit("g/"), key, F.lit("/a"))
+    gb = F.concat(F.lit("g/"), key, F.lit("/b"))
+
+    def _e(subj, pred, obj):
+        return F.struct(
+            subj.alias("subject_id"),
+            F.lit(pred).alias("predicate"),
+            obj.alias("object_id"),
+            F.lit("p").alias("provenance"),
+        )
+
+    base = F.array(
+        _e(gb, "specializationOf", F.lit("svg/Root")),
+        _e(ga, "specializationOf", gb),
+        _e(F.concat(F.lit("sv/"), key, F.lit("/1")), "memberOf", ga),
+    )
+    extra = F.when(
+        F.col("n_nationkey") % 2 == 0,
+        F.array(_e(F.concat(F.lit("sv/"), key, F.lit("/2")), "memberOf", ga)),
+    ).otherwise(F.array().cast("array<struct<subject_id:string,predicate:string,object_id:string,provenance:string>>"))
+    edges = n.select(F.explode(F.concat(base, extra)).alias("r")).select("r.*")
+    generated = n.select(F.explode(F.array(ga, gb)).alias("svg_id"))
+    pruned_edges, _ = prune_single_child_svgs(edges, generated)
+    return pruned_edges.orderBy("subject_id", "predicate", "object_id")
+
+
+SQL_SVG_PRUNE = """
+WITH n AS (SELECT CAST(n_nationkey AS VARCHAR) AS k, n_nationkey % 2 = 0 AS even FROM nation)
+SELECT 'g/' || k || '/a' AS subject_id, 'specializationOf' AS predicate,
+       'svg/Root' AS object_id, 'p' AS provenance
+FROM n WHERE even
+UNION ALL
+SELECT 'sv/' || k || '/1', 'memberOf', 'g/' || k || '/a', 'p' FROM n WHERE even
+UNION ALL
+SELECT 'sv/' || k || '/2', 'memberOf', 'g/' || k || '/a', 'p' FROM n WHERE even
+UNION ALL
+SELECT 'sv/' || k || '/1', 'memberOf', 'svg/Root', 'p' FROM n WHERE NOT even
+ORDER BY subject_id, predicate, object_id
+"""
+
+QUERIES["svg_prune"] = q_svg_prune
+ORACLE_SQL["svg_prune"] = SQL_SVG_PRUNE
