@@ -144,20 +144,27 @@ def _child_kg(sf_dir: str, cores: int, kg_convs: int) -> None:
     run_pipeline(spark, warm, dcid_dictionary(spark), verify_text_invariant=False).triples.count()
     retained = _drain_session_state(spark)
     assert retained == 0, f"retained RDD blocks before timed run: {retained}"
-    # best-of-2 timed runs (host-window drift, see _child_batch)
-    kg_sec, n_triples = None, 0
-    for _ in range(2):
+    # best-of-3 timed runs: the KG number is the BASELINE.json headline
+    # and runs last in the bench sequence, so it is the query most
+    # exposed to the host's ~2x delivered-performance swings (measured
+    # 31.4s in-bench vs 14.1s solo minutes apart on identical
+    # code+input); a third ~15s rep is cheap insurance against one
+    # degraded sub-window. Per-rep times are reported for transparency.
+    kg_trials: list[float] = []
+    n_triples = 0
+    for _ in range(3):
         t0 = time.time()
         res = run_pipeline(spark, tr, dcid_dictionary(spark), verify_text_invariant=False)
         n_triples = res.triples.count()
-        dt = round(time.time() - t0, 3)
-        kg_sec = dt if kg_sec is None else min(kg_sec, dt)
+        kg_trials.append(round(time.time() - t0, 3))
         _drain_session_state(spark)
+    kg_sec = min(kg_trials)
     print(
         _MARK
         + json.dumps(
             {
                 "timings": {"kg_pipeline": kg_sec},
+                "kg_trials": kg_trials,
                 "kg_triples": n_triples,
                 "kg_triples_per_sec": round(n_triples / kg_sec, 1),
                 "kg_convs": kg_convs,
@@ -250,6 +257,11 @@ def main() -> None:
         timings.update(_run_child(["--batch", ",".join(job)])["timings"])
     kg = _run_child(["--kg"])
     timings["kg_pipeline"] = kg["timings"]["kg_pipeline"]
+    # second calibration AFTER the ~30-min run: the start/end pair shows
+    # whether the host window drifted mid-run (the documented ~2x
+    # co-tenant swings), so a reader can tell a host-taxed number from a
+    # code change without rerunning anything.
+    calib_end = _host_calibration()
     # keep the original query order in the output
     timings = {n: timings[n] for n in list(QUERIES) if n in timings}
 
@@ -264,9 +276,11 @@ def main() -> None:
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "kg_triples": kg["kg_triples"],
                 "kg_triples_per_sec": kg["kg_triples_per_sec"],
+                "kg_trials": kg.get("kg_trials"),
                 "kg_convs": kg["kg_convs"],
                 "cores": cores,
                 "host_calibration": calib,
+                "host_calibration_end": calib_end,
             }
         )
     )
