@@ -449,7 +449,7 @@ def _link_token_col(tok, dcid_map: dict):
     for k, v in EXT_PREFIXES.items():
         prop = F.when(pfx == k, F.lit(v)).otherwise(prop)
         fb_pfx = F.when(pfx == k, F.lit(place_dcid_prefix(v))).otherwise(fb_pfx)
-    hit = lut.getItem(F.concat(prop, F.lit("\x00"), rest))
+    hit = lut[F.concat(prop, F.lit("\x00"), rest)]
     return (
         F.when(pfx == "dcid", rest)
         .when(prop.isNotNull(), F.coalesce(hit, F.concat(fb_pfx, F.lit("/"), rest)))
