@@ -3868,6 +3868,90 @@ QUERIES["super_enum_rollup"] = q_super_enum_rollup
 ORACLE_SQL["super_enum_rollup"] = SQL_SUPER_ENUM_ROLLUP
 
 
+def q_statvar_sum_rollup(spark, sf):
+    """StatVar SUM aggregation (stat_var_aggregator.py:56-325): four
+    source SVs carved from orders roll up into one ancestor SV; only
+    (entity, date) groups where ALL four sources contribute survive,
+    under the rewritten dcAggregate facet and its recomputed
+    FARM_FINGERPRINT facet id."""
+    from import_spark.operators.statvar_agg import (
+        StatVarAggregationConfig,
+        aggregate_stat_vars,
+    )
+
+    o = _t(spark, sf, "orders")
+    sv = F.concat(F.lit("sv/"), (F.col("o_orderkey") % 4).cast("string"))
+    ent = F.concat(F.lit("cust/"), (F.col("o_custkey") % 40).cast("string"))
+    facet = F.struct(
+        F.lit("p/in").alias("provenance"),
+        F.lit("Census").alias("measurementMethod"),
+        F.lit(None).cast("string").alias("unit"),
+        F.lit(None).cast("string").alias("observationPeriod"),
+        F.lit(None).cast("string").alias("scalingFactor"),
+    )
+    ts = (
+        o.select(
+            sv.alias("variable_measured"),
+            ent.alias("entity1"),
+            F.lit("").alias("extra_entities_id"),
+            F.lit("f").alias("facet_id"),
+            F.lit("p/in").alias("provenance"),
+            F.lit("[]").alias("entities"),
+            facet.alias("facet"),
+        )
+        .distinct()
+    )
+    obs = o.select(
+        sv.alias("variable_measured"),
+        ent.alias("entity1"),
+        F.lit("").alias("extra_entities_id"),
+        F.lit("f").alias("facet_id"),
+        F.date_format("o_orderdate", "yyyy").alias("date"),
+        (F.col("o_orderkey") % 10).cast("string").alias("value"),
+    )
+    cfg = StatVarAggregationConfig(
+        ancestor_sv="sv/parent",
+        source_svs=["sv/0", "sv/1", "sv/2", "sv/3"],
+        input_provenances=["p/in"],
+        output_provenance="p/out",
+    )
+    return aggregate_stat_vars(obs, ts, cfg).observations
+
+
+def _statvar_sum_fid() -> str:
+    from import_spark.operators.calculations import signed_farm_fingerprint
+
+    return str(signed_farm_fingerprint("p/out^dcAggregate/Census^^^^true"))
+
+
+SQL_STATVAR_SUM_ROLLUP = f"""
+WITH base AS (
+  SELECT 'sv/' || CAST(o_orderkey % 4 AS VARCHAR) AS vm,
+         'cust/' || CAST(o_custkey % 40 AS VARCHAR) AS entity1,
+         strftime(o_orderdate, '%Y') AS date,
+         CAST(o_orderkey % 10 AS DOUBLE) AS v
+  FROM orders
+),
+agg AS (
+  SELECT entity1, date, SUM(v) AS total_val,
+         COUNT(DISTINCT vm) AS contribution_count
+  FROM base
+  GROUP BY entity1, date
+)
+SELECT 'sv/parent' AS variable_measured,
+       entity1,
+       '' AS extra_entities_id,
+       '{_statvar_sum_fid()}' AS facet_id,
+       date,
+       CAST(total_val AS VARCHAR) AS value
+FROM agg
+WHERE contribution_count = 4 AND total_val IS NOT NULL
+"""
+
+QUERIES["statvar_sum_rollup"] = q_statvar_sum_rollup
+ORACLE_SQL["statvar_sum_rollup"] = SQL_STATVAR_SUM_ROLLUP
+
+
 def _prov_summary_result(spark, sf):
     """ProvenanceSummary inputs from orders: one Count_Order
     observation per order under a per-priority facet, entities typed
