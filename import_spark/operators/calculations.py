@@ -99,7 +99,13 @@ def _input_filter(spec: dict):
 def _prefilter(calculations: list[dict]):
     """_build_spanner_observation_filter (generator:380-405): one OR of
     every input SV pattern, applied before the facet join so the
-    filter reaches the observation scan."""
+    filter reaches the observation scan.
+
+    Like the reference, an input WITHOUT sv_regex contributes no term:
+    if another input has one, the pre-filter still applies and the
+    regex-less input sees only the OR'd subset (the reference documents
+    sv_regex as 'always present', generator:405; parity kept rather
+    than second-guessed)."""
     conds = []
     seen = set()
     for calc in calculations:

@@ -256,6 +256,10 @@ def aggregate_entities(edges: DataFrame, config: EntityAggregationConfig) -> Ent
                 F.col("b.obs_period").alias("obs_period"),
                 *wildcard_cols,
             )
+            # COUNT(entity_id), NOT DISTINCT (generator:293): an entity
+            # joining twice (two constraint values in range, or two raw
+            # dates truncating into one bucket) counts twice, exactly
+            # as the reference's row count does
             .agg(F.count("entity_id").alias("event_count"))
         )
         with_sv = _with_fingerprint(

@@ -46,6 +46,10 @@ class StatVarAggregationConfig:
     source_svs: list[str]
     input_provenances: list[str]
     output_provenance: str
+    # NOTE: a duplicated entry in source_svs makes the completeness
+    # check unsatisfiable (contribution_count is COUNT DISTINCT but the
+    # target is len(source_svs)) — bit-faithful to the reference
+    # (:129-131 filter_condition), which has the same property.
     skip_all_sources_present_check: bool = False
 
 
@@ -120,7 +124,10 @@ def aggregate_stat_vars(
             "new_facet",
             "_facet_key",
         )
-        .localCheckpoint()
+        # lazy: this is a plan builder — materialize on first action,
+        # not at construction (same flag as calculations.py's shared
+        # obs⨝facets base)
+        .localCheckpoint(eager=False)
     )
 
     keep = (

@@ -222,8 +222,15 @@ def super_enum_aggregate(
         )
     )
 
-    # Step 4: source SV -> (whitelisted_pred, parent_enum) mappings
-    raw_props = target_edges.join(eligible.select("subject_id"), "subject_id")
+    # Step 4: source SV -> (whitelisted_pred, parent_enum) mappings.
+    # The key build uses the SUBJECT-level provenance from the
+    # eligibility aggregate (the reference joins e.source_provenance
+    # from the ANY_VALUE GROUP BY, generator:214-231), NOT the per-edge
+    # provenance: an SV whose definition edges span provenances must
+    # yield ONE full key, not partial per-provenance keys.
+    raw_props = target_edges.drop("source_provenance").join(
+        eligible.select("subject_id", "source_provenance"), "subject_id"
+    )
     sv_to_parent = (
         raw_props.where(F.col("predicate").isin(WHITELISTED_ENUM_PROPS))
         .select(
@@ -345,6 +352,14 @@ def super_enum_aggregate(
         facet["scalingFactor"].alias("scalingFactor"),
         F.lit(True).alias("isDcAggregate"),
     )
+    # entity1 participates in the DISTINCT and is then dropped WITHOUT
+    # a second distinct — bit-faithful to the reference (UniqueTS
+    # :388-396 includes entity1; the ParsedTS select drops it with no
+    # further DISTINCT), so two entities sharing one (entities, facet)
+    # emit two identical TS rows exactly as the reference does. (The
+    # stat_var_aggregator.py reference file makes the OPPOSITE choice
+    # — its UniqueTS excludes entity1 — and statvar_agg.py mirrors
+    # that; the asymmetry is the reference's own.)
     out_ts = _with_facet_id(
         src_ts.select(
             F.col("target_sv").alias("variable_measured"),

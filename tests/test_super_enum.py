@@ -213,3 +213,48 @@ def test_min_strategy_rollup(spark):
     )
     res = super_enum_aggregate(edges_df, nodes_df, ts_df, obs_df, [prov])
     assert {r["value"] for r in res.observations.collect()} == {"3.0"}
+
+
+def test_multi_provenance_sv_builds_one_key(spark):
+    """An SV whose definition edges span two input provenances must
+    yield ONE full key under the subject-level (ANY_VALUE/MIN)
+    provenance — not partial per-provenance keys (generator:214-231
+    joins e.source_provenance from the eligibility GROUP BY, never the
+    edge provenance)."""
+    edges = []
+    # sv/m defined across p/a and p/b: measuredProperty under p/a,
+    # the rest (incl. the whitelisted age) under p/b
+    edges.append(("sv/m", "measuredProperty", "count", "p/a"))
+    edges += [
+        ("sv/m", "typeOf", "StatisticalVariable", "p/b"),
+        ("sv/m", "statType", "measuredValue", "p/b"),
+        ("sv/m", "populationType", "Person", "p/b"),
+        ("sv/m", "age", "Years18To24", "p/b"),
+    ]
+    edges.append(("Years18To24", "specializationOf", "Years18Plus", "p/x"))
+    edges_df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    nodes_df = spark.createDataFrame([], NODE_SCHEMA)
+    ts_df = spark.createDataFrame(
+        [("sv/m", "geo/X", "", "f1", "[]", "p/a", _facet(prov="p/a", mm="Census"))],
+        TS_SCHEMA,
+    )
+    obs_df = spark.createDataFrame(
+        [("sv/m", "geo/X", "", "f1", "2020", "5")], OBS_SCHEMA
+    )
+    res = super_enum_aggregate(
+        edges_df, nodes_df, ts_df, obs_df, input_provenances=["p/a", "p/b"]
+    )
+    key = (
+        "age=Years18Plus"
+        "measuredProperty=count"
+        "populationType=Person"
+        "statType=measuredValue"
+        "typeOf=StatisticalVariable"
+    )
+    target = "dc/" + long_id(key)
+    # one generated node with the FULL key; observations emitted once
+    assert [n["subject_id"] for n in res.nodes.collect()] == [target]
+    obs = [(r["variable_measured"], r["date"], r["value"]) for r in res.observations.collect()]
+    assert obs == [(target, "2020", "5.0")]
+    # the subject-level provenance is the MIN ('p/a') -> one edge prov
+    assert {r["provenance"] for r in res.edges.collect()} == {"p/a_SuperEnum"}
