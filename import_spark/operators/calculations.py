@@ -38,8 +38,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -184,17 +182,12 @@ def facet_fingerprint_key(
 def _with_facet_id(df: DataFrame, key_col: str = "_facet_key") -> DataFrame:
     """Signed FARM_FINGERPRINT of the key column — computed on the
     DISTINCT keys (facet cardinality, not row cardinality) and
-    broadcast-joined back."""
-    from pyspark.sql.pandas.functions import pandas_udf
+    broadcast-joined back (functions.udfs.distinct_key_join)."""
+    from import_spark.functions.udfs import distinct_key_join
 
-    def _fp(keys: pd.Series) -> pd.Series:
-        return keys.map(
-            lambda k: str(signed_farm_fingerprint(k)) if isinstance(k, str) else None
-        )
-
-    fp_udf = pandas_udf(_fp, "string")
-    keys = df.select(key_col).distinct().withColumn("facet_id", fp_udf(F.col(key_col)))
-    return df.join(F.broadcast(keys), key_col).drop(key_col)
+    return distinct_key_join(
+        df, key_col, "facet_id", lambda k: str(signed_farm_fingerprint(k))
+    )
 
 
 def calculate_stat_vars(

@@ -32,8 +32,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -166,20 +164,13 @@ def _sv_name_expr(slice_cons: list[dict]):
 
 def _with_fingerprint(df: DataFrame, key_col, out_col: str, prefix: str = "") -> DataFrame:
     """Signed FARM_FINGERPRINT over DISTINCT keys, broadcast-joined
-    back (same shape as calculations._with_facet_id)."""
-    from pyspark.sql.pandas.functions import pandas_udf
-
+    back (functions.udfs.distinct_key_join)."""
+    from import_spark.functions.udfs import distinct_key_join
     from import_spark.operators.calculations import signed_farm_fingerprint
 
-    def _fp(keys: pd.Series) -> pd.Series:
-        return keys.map(
-            lambda k: prefix + str(signed_farm_fingerprint(k)) if isinstance(k, str) else None
-        )
-
-    fp_udf = pandas_udf(_fp, "string")
-    tagged = df.withColumn("_fp_key", key_col)
-    keys = tagged.select("_fp_key").distinct().withColumn(out_col, fp_udf(F.col("_fp_key")))
-    return tagged.join(F.broadcast(keys), "_fp_key").drop("_fp_key")
+    return distinct_key_join(
+        df, key_col, out_col, lambda k: prefix + str(signed_farm_fingerprint(k))
+    )
 
 
 def aggregate_entities(edges: DataFrame, config: EntityAggregationConfig) -> EntityAggResult:

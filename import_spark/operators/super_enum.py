@@ -34,8 +34,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -132,16 +130,12 @@ def _with_generated_dcid(df: DataFrame, key_col: str = "key_str") -> DataFrame:
     """'dc/' + base32(FARM_FINGERPRINT(key)) over DISTINCT keys
     (generator DC_BASE32_ENCODE; bit-shared with functions/farmhash
     long_id, Guava-parity-gated)."""
-    from pyspark.sql.pandas.functions import pandas_udf
-
     from import_spark.functions.farmhash import long_id
+    from import_spark.functions.udfs import distinct_key_join
 
-    def _gen(keys: pd.Series) -> pd.Series:
-        return keys.map(lambda k: "dc/" + long_id(k) if isinstance(k, str) else None)
-
-    gen_udf = pandas_udf(_gen, "string")
-    keys = df.select(key_col).distinct().withColumn("generated_sv", gen_udf(F.col(key_col)))
-    return df.join(F.broadcast(keys), key_col)
+    return distinct_key_join(
+        df, key_col, "generated_sv", lambda k: "dc/" + long_id(k), drop_key=False
+    )
 
 
 def _new_mm(mm):
