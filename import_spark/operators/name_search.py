@@ -91,12 +91,15 @@ def _chargrams(norm_col: str, n: int):
 def _gram_list(norm_col: str, n: int):
     """The reference's _get_ngrams list: the words of the key (in
     order, duplicates kept) followed by the distinct char grams not
-    already present as a word (ngram_matcher.py:153-162)."""
-    return F.expr(
-        f"concat(split({norm_col}, ' '), "
-        f"filter(array_distinct(transform(sequence(0, greatest(length({norm_col}) - {n}, 0)), "
-        f"i -> substring({norm_col}, i + 1, {n}))), "
-        f"g -> NOT array_contains(split({norm_col}, ' '), g)))"
+    already present as a word (ngram_matcher.py:153-162). Built on
+    ``_chargrams`` so the gram expression lives in one place."""
+    grams = _chargrams(norm_col, n)
+    return F.concat(
+        F.expr(f"split({norm_col}, ' ')"),
+        F.filter(
+            F.array_distinct(grams),
+            lambda g: ~F.array_contains(F.expr(f"split({norm_col}, ' ')"), g),
+        ),
     )
 
 

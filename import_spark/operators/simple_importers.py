@@ -111,9 +111,19 @@ def _na_to_null(c):
 
 
 def _json_escape(c):
-    """JSON string-value escaping for the properties column (the
-    reference uses json.dumps; dcid-ish values only need \\ and \")."""
-    return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\"')
+    """JSON string-value escaping for the properties column, matching
+    json.dumps (the reference's encoder): backslash, quote, the five
+    short-form control escapes, and \\u00XX for the remaining control
+    characters — a raw newline/tab in a custom-dimension cell must not
+    produce invalid JSON. One folded JVM expression chain, no UDF."""
+    # replacement strings are Java Matcher syntax: r'\"' would unescape
+    # to a bare quote — the backslash must itself be escaped
+    out = F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', r"\\\"")
+    for ch, esc in (("\b", r"\\b"), ("\f", r"\\f"), ("\n", r"\\n"), ("\r", r"\\r"), ("\t", r"\\t")):
+        out = F.regexp_replace(out, re.escape(ch), esc)
+    for i in [x for x in range(0x20) if chr(x) not in '\b\f\n\r\t']:
+        out = F.regexp_replace(out, re.escape(chr(i)), f"\\\\u{i:04x}")
+    return out
 
 
 def import_variable_per_row(
@@ -391,13 +401,19 @@ def import_events(
     ent = col_strip_namespace(_na_to_null(F.col(entity_column))) if entity_column else F.lit(None).cast("string")
     date = _na_to_null(F.col(date_column)) if date_column else F.lit(None).cast("string")
 
-    # ---- observations: COUNT per (entity, period) per computed variable
+    # ---- observations: COUNT per (entity, period) per computed variable.
+    # Null group keys are EXCLUDED: pandas groupby(dropna=True) never
+    # counts them in the reference (events_importer.py:166-169), and an
+    # unparseable date there raises in date_parse (:336-337) — a
+    # Spark groupBy would otherwise keep a NULL-keyed group and emit
+    # observation rows the reference never produces.
     obs_parts = []
     base = work.select(ent.alias("entity"), date.alias("date"))
     for var_name, sv_dcid in (computed_variables or {}).items():
         period = (aggregation_periods or {}).get(var_name, "year")
         agg = (
             base.withColumn("date", _date_period_col(F.col("date"), period))
+            .filter(F.col("entity").isNotNull() & F.col("date").isNotNull())
             .groupBy("entity", "date")
             .agg(F.count("*").cast("string").alias("value"))
             .select(

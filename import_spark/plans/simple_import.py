@@ -179,7 +179,17 @@ class SimpleImportResult:
 
 
 def _file_config(config: dict, name: str) -> dict:
+    """Per-file config lookup, accepting BOTH inputFiles shapes the
+    reference parses (config.py:77-122): the legacy dict keyed by
+    filename/pattern and the modern list of objects keyed by their
+    'pattern' or 'filename' field."""
     files = config.get("inputFiles") or {}
+    if isinstance(files, list):
+        files = {
+            (e.get("pattern") or e.get("filename")): e
+            for e in files
+            if isinstance(e, dict) and (e.get("pattern") or e.get("filename"))
+        }
     if name in files:
         return files[name]
     for pattern, cfg in files.items():

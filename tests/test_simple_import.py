@@ -176,3 +176,65 @@ def test_run_simple_import_mcf_dispatch(spark):
     res = run_simple_import(spark, {}, {"meta.mcf": nodes})
     got = {(r.subject_id, r.predicate, r.object_value) for r in res.triples.collect()}
     assert ("source/X", "name", "Src") in got
+
+
+def test_json_escape_matches_json_dumps(spark):
+    """_json_escape must agree with json.dumps (the reference encoder)
+    on quotes, backslashes and ALL control characters — a raw newline
+    in a custom-dimension cell must not yield invalid JSON, and the
+    Java replacement-string escaping of '\"' must survive."""
+    from pyspark.sql import functions as F
+
+    from import_spark.operators.simple_importers import _json_escape
+
+    vals = ['a"b', "back\\slash", "nl\nnl", "tab\there", "mix\"\\\n\x01\x1f", "plain"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", _json_escape(F.col("s")).alias("e")
+    )
+    for r in df.collect():
+        assert r["e"] == json.dumps(r["s"])[1:-1], repr(r["s"])
+
+
+def test_file_config_list_shape():
+    """The modern list-of-objects inputFiles shape (config.py:96-108)
+    must resolve by filename and by pattern."""
+    from import_spark.plans.simple_import import _file_config
+
+    cfg = {
+        "inputFiles": [
+            {"filename": "a.csv", "provenance": "dcid:P1"},
+            {"pattern": "events_*.csv", "provenance": "dcid:P2"},
+        ]
+    }
+    assert _file_config(cfg, "a.csv")["provenance"] == "dcid:P1"
+    assert _file_config(cfg, "events_2020.csv")["provenance"] == "dcid:P2"
+    assert _file_config(cfg, "other.csv") == {}
+
+
+def test_events_null_keys_excluded(spark):
+    """Rows with a null entity or unparseable date must not form
+    observation groups (pandas groupby dropna semantics; the
+    reference's date_parse raises on bad dates)."""
+    from import_spark.operators.simple_importers import import_events
+
+    df = spark.createDataFrame(
+        [
+            (0, "USA", "2020-01-01", "x"),
+            (1, "USA", "2020-06-30", "y"),
+            (2, None, "2020-02-02", "z"),      # null entity
+            (3, "BRA", "not-a-date", "w"),      # unparseable date
+        ],
+        "_idx long, loc string, dt string, extra string",
+    )
+    observations, _triples = import_events(
+        df,
+        event_type="TestEvent",
+        index_col="_idx",
+        entity_column="loc",
+        date_column="dt",
+        computed_variables={"count": "dcid:Count_TestEvent"},
+        aggregation_periods={"count": "year"},
+        provenance_id="dcid:P",
+    )
+    rows = {(r["entity"], r["date"]): r["value"] for r in observations.collect()}
+    assert rows == {("USA", "2020"): "2"}
