@@ -178,7 +178,7 @@ _DATE_PATTERNS: list[tuple[str, set[int], list[str]]] = [
     ("yyyy-MM-dd'T'HH:mm:ss.SSS", {23}, ["%Y-%m-%dT%H:%M:%S.%f"]),
     ("yyyy-MM-dd'T'HH:mm:ss.SSSXXX", {29}, ["%Y-%m-%dT%H:%M:%S.%f%z"]),
 ]
-_EXTRA_DATE_RES = [re.compile(r"^\d{5}$"), re.compile(r"^\d{7}$")]
+_EXTRA_DATE_RES = [re.compile(r"^\d{5}\Z"), re.compile(r"^\d{7}\Z")]
 # Java's yyyy-M accepts 1- or 2-digit month; strptime %m accepts both too,
 # but yyyy-M with length 6 means single-digit month (e.g. 2019-3).
 
@@ -215,8 +215,8 @@ def clean_numeric_string(val: str) -> str:
 
 # dcid charset: the reference allows alnum plus a set of punctuation, with a
 # bio/ exception for richer charsets (McfChecker.java:33-49).
-_DCID_RE = re.compile(r"^[a-zA-Z0-9_/\-\.&:%\(\) ]+$")
-_BIO_DCID_RE = re.compile(r"^bio/[^ ]+$")
+_DCID_RE = re.compile(r"^[a-zA-Z0-9_/\-\.&:%\(\) ]+\Z")
+_BIO_DCID_RE = re.compile(r"^bio/[^ ]+\Z")
 
 
 def is_valid_dcid(dcid: str) -> bool:
@@ -261,7 +261,7 @@ def col_is_valid_dcid(c):
     from pyspark.sql import functions as F
 
     return (F.length(c) <= V.MAX_DCID_LENGTH) & (
-        c.rlike(r"^[a-zA-Z0-9_/\-\.&:%\(\) ]+$") | c.rlike(r"^bio/[^ ]+$")
+        c.rlike(r"\A[a-zA-Z0-9_/\-\.&:%\(\) ]+\z") | c.rlike(r"\Abio/[^ ]+\z")
     )
 
 
@@ -277,16 +277,16 @@ def col_is_valid_date(c):
 
     return (
         ((n == 4) & try_fmt("yyyy"))
-        | (n.isin(6, 7) & c.rlike(r"^\d{4}-\d{1,2}$") & try_fmt("yyyy-M"))
+        | (n.isin(6, 7) & c.rlike(r"\A\d{4}-\d{1,2}\z") & try_fmt("yyyy-M"))
         | (n.isin(8, 9, 10) & c.contains("-") & try_fmt("yyyy-M-d"))
-        | ((n == 6) & c.rlike(r"^\d{6}$") & try_fmt("yyyyMM"))
-        | ((n == 8) & c.rlike(r"^\d{8}$") & try_fmt("yyyyMMdd"))
+        | ((n == 6) & c.rlike(r"\A\d{6}\z") & try_fmt("yyyyMM"))
+        | ((n == 8) & c.rlike(r"\A\d{8}\z") & try_fmt("yyyyMMdd"))
         | ((n == 16) & try_fmt("yyyy-MM-dd'T'HH:mm"))
         | ((n == 19) & try_fmt("yyyy-MM-dd'T'HH:mm:ss"))
         | ((n == 23) & try_fmt("yyyy-MM-dd'T'HH:mm:ss.SSS"))
         | ((n == 29) & try_fmt("yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
-        | c.rlike(r"^\d{5}$")
-        | c.rlike(r"^\d{7}$")
+        | c.rlike(r"\A\d{5}\z")
+        | c.rlike(r"\A\d{7}\z")
     )
 
 

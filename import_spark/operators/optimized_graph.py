@@ -137,10 +137,24 @@ def to_optimized_graph(obs: DataFrame) -> DataFrame:
                 key = {c: (pdf[c].iloc[i] or None) for c in KEY_COLS}
                 obs_bytes = []
                 for o in pdf["_obs"].iloc[i]:
+                    # explicit errors beat silent corruption: a None
+                    # value would stringify to the text 'None', and a
+                    # None pv would AttributeError deep inside protowire
+                    if o["value"] is None:
+                        raise ValueError(
+                            "null observation value for "
+                            f"dcid={o['dcid']!r} date={o['date']!r}"
+                        )
                     value = str(o["value"])
                     is_num = bool(_FLOAT_RE.match(value))
                     row_pvs = None
                     if has_pvs and o["pvs"]:
+                        for k, v in o["pvs"].items():
+                            if v is None:
+                                raise ValueError(
+                                    f"null pv value for property {k!r}, "
+                                    f"dcid={o['dcid']!r}"
+                                )
                         row_pvs = {
                             k: [(pw.VT_TEXT, v)]
                             for k, v in o["pvs"].items()
@@ -211,11 +225,31 @@ def from_optimized_graph(payloads: DataFrame, payload_col: str = "payload") -> D
 
 
 def _java_double_str(v: float) -> str:
-    """Java Double.toString: integral doubles render as '39.0', not
-    '39' (GraphUtils.java:260 uses Double.toString for MCF text)."""
-    if v == int(v) and abs(v) < 1e16:
-        return f"{v:.1f}"
-    return repr(v)
+    """Java Double.toString (GraphUtils.java:260 uses it for MCF text):
+    NaN/Infinity by name; decimal form with a mandatory fraction digit
+    for 1e-3 <= |v| < 1e7; otherwise computerized scientific notation
+    'd.dddEx' (uppercase E, no '+', shortest round-trip digits — the
+    same shortest-digits rule Python's repr uses)."""
+    import math
+    from decimal import Decimal
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if v == 0.0:
+        return "-0.0" if math.copysign(1.0, v) < 0 else "0.0"
+    a = abs(v)
+    if 1e-3 <= a < 1e7:
+        s = repr(v)
+        if "." not in s:
+            s += ".0"
+        return s
+    sign, digits, exp = Decimal(repr(v)).normalize().as_tuple()
+    digs = "".join(map(str, digits))
+    e10 = len(digits) + exp - 1
+    mant = digs[0] + "." + (digs[1:] or "0")
+    return ("-" if sign else "") + f"{mant}E{e10}"
 
 
 def export_optimized_graph(obs: DataFrame, path: str, compress: bool = True) -> None:

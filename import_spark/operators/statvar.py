@@ -86,7 +86,7 @@ def is_uri_or_namespace(col):
             col.startswith("http://")
             | col.startswith("https://")
             | col.startswith("dcid:")
-            | (col.contains(":") & ~col.contains(" ") & prefix.rlike(r"^[A-Za-z0-9]+$"))
+            | (col.contains(":") & ~col.contains(" ") & prefix.rlike(r"\A[A-Za-z0-9]+\z"))
         )
     )
 

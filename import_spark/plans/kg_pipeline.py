@@ -113,6 +113,18 @@ def text_digest(transcripts: DataFrame) -> int:
     return row["d"] or 0
 
 
+def dict_digest(dcid_dict: DataFrame) -> int:
+    """Order-independent digest of the dcid dictionary — the other half
+    of the snapshot resume marker. ONE definition, shared with the
+    streaming ingest (streaming/incremental.py): a silent formula
+    divergence would make the digests never match and the resume
+    fast-path quietly regenerate every run."""
+    row = dcid_dict.select(
+        F.bit_xor(F.xxhash64(*dcid_dict.columns)).alias("d")
+    ).collect()[0]
+    return row["d"] or 0
+
+
 class _Metrics:
     def __init__(self, run_id: str):
         self.run_id = run_id
@@ -233,12 +245,8 @@ def run_pipeline(
         # file doubles as the success marker — it is renamed into
         # place only AFTER the parquet write returns (the dynamic
         # partition-overwrite committer writes no _SUCCESS file).
-        dict_digest = (
-            dcid_dict.select(F.bit_xor(F.xxhash64(*dcid_dict.columns)).alias("d")).collect()[0]["d"]
-            or 0
-        )
         digest_path = os.path.join(snap, "_input_digest.json")
-        cur_digest = {"text_digest": din, "dict_digest": dict_digest}
+        cur_digest = {"text_digest": din, "dict_digest": dict_digest(dcid_dict)}
         resume_ok = False
         if os.path.exists(digest_path):
             with open(digest_path) as f:
@@ -246,10 +254,21 @@ def run_pipeline(
         if resume_ok:
             m.add("link", "resumed_from_checkpoint", 1)
         else:
-            if os.path.exists(digest_path):
-                os.remove(digest_path)
+            # stale/absent marker: the snapshot dir is a derived
+            # artifact — remove it WHOLE before regenerating. A
+            # partial dynamic overwrite into a directory laid out by a
+            # different partitioning (the streamed snapshot uses
+            # (_b, _cls); this writer uses (_cls)) would leave
+            # mixed-depth partition dirs that break discovery.
+            if os.path.exists(snap):
+                shutil.rmtree(snap, ignore_errors=True)
             linked_plan = _with_cls(_link_plan(transcripts, dcid_dict, link_strategy))
-            linked_plan.write.mode("overwrite").partitionBy("_cls").parquet(snap)
+            (
+                linked_plan.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_cls")
+                .parquet(snap)
+            )
             tmp_digest = digest_path + ".tmp"
             with open(tmp_digest, "w") as f:
                 json.dump(cur_digest, f)

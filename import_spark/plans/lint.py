@@ -101,7 +101,7 @@ def run_lint(
     # parser-generated ids.
     svobs = _svobs_table(nodes).localCheckpoint()
     num = svobs.filter(
-        F.col("value_str").rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+        F.col("value_str").rlike(r"\A-?\d+(\.\d+)?([eE][+-]?\d+)?\z")
     ).withColumn("_fv", F.col("value_str").cast("float"))
     obs_key = ["entity", "variable", *FACET_PROPS, "date"]
     first_val = Window.partitionBy(*obs_key).orderBy("node_id")
@@ -130,7 +130,7 @@ def run_lint(
 
     key = ["entity", "variable", *FACET_PROPS]
     obs = svobs.filter(
-        F.col("value_str").rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+        F.col("value_str").rlike(r"\A-?\d+(\.\d+)?([eE][+-]?\d+)?\z")
     ).select(
         "node_id",
         *key,

@@ -355,7 +355,7 @@ def q_p1_typed_values(spark, sf):
         .when(F.col("tok").startswith("["), "COMPLEX_VALUE")
         .when(F.col("tok").rlike("^(dcid|dcs|schema):"), "RESOLVED_REF")
         .when(F.col("tok").startswith("l:"), "UNRESOLVED_REF")
-        .when(F.col("tok").rlike(r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"), "NUMBER")
+        .when(F.col("tok").rlike(r"\A[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?\z"), "NUMBER")
         .when(F.lower(F.col("tok")).isin("true", "false"), "NUMBER")
         .otherwise("TEXT")
     )
@@ -422,7 +422,7 @@ def q_p14_dcid_sanity(spark, sf):
         _t(spark, sf, "documents")
         .filter(
             (F.length("source") <= 256)
-            & F.col("source").rlike(r"^[a-zA-Z0-9_/\-\.&:%\(\) ]+$")
+            & F.col("source").rlike(r"\A[a-zA-Z0-9_/\-\.&:%\(\) ]+\z")
         )
         .groupBy("source")
         .agg(F.count("*").alias("n"))

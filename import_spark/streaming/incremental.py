@@ -43,7 +43,15 @@ def ingest_available_now(
     dcid_dict,
 ) -> int:
     """Drain all unprocessed transcript files into the statement
-    snapshot; returns the number of micro-batches processed."""
+    snapshot; returns the number of micro-batches processed.
+
+    Each batch lands as its own ``_b=batch_id`` partition via dynamic
+    partition overwrite (forced at the writer so a caller-supplied
+    session with the static default cannot truncate the snapshot): a
+    batch replayed after a crash mid-write REPLACES its partition
+    instead of appending duplicates — exactly-once together with the
+    checkpointed source offsets, the same idempotent-unit pattern as
+    ``ingest_to_pipeline_snapshot``."""
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 64)
@@ -53,7 +61,13 @@ def ingest_available_now(
 
     def process(batch_df, batch_id: int) -> None:
         linked = link_statements(extract_statements(batch_df), dcid_dict)
-        linked.write.mode("append").parquet(snapshot_dir)
+        (
+            linked.withColumn("_b", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_b")
+            .parquet(snapshot_dir)
+        )
         n_batches["n"] += 1
 
     q = (
@@ -95,7 +109,7 @@ def ingest_to_pipeline_snapshot(
     Returns the number of micro-batches processed this invocation
     (0 when the source offsets say everything was already ingested).
     """
-    from import_spark.plans.kg_pipeline import _with_cls, text_digest
+    from import_spark.plans.kg_pipeline import _with_cls, dict_digest, text_digest
     from import_spark.plans.lineage import write_stage_lineage
 
     snap = os.path.join(checkpoint_dir, run_id, "linked")
@@ -112,7 +126,15 @@ def ingest_to_pipeline_snapshot(
         out = _with_cls(extract_and_link(batch_df, dmap)).withColumn(
             "_b", F.lit(batch_id)
         )
-        out.write.mode("overwrite").partitionBy("_b", "_cls").parquet(snap)
+        # dynamic overwrite forced at the writer: with the Spark
+        # default (static) a caller-supplied session would truncate
+        # every earlier batch's partitions on each micro-batch
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_b", "_cls")
+            .parquet(snap)
+        )
         n_batches["n"] += 1
 
     q = (
@@ -134,12 +156,7 @@ def ingest_to_pipeline_snapshot(
     tr = spark.read.parquet(transcripts_dir)
     digest = {
         "text_digest": text_digest(tr) if compute_text_digest else 0,
-        "dict_digest": (
-            dcid_dict.select(
-                F.bit_xor(F.xxhash64(*dcid_dict.columns)).alias("d")
-            ).collect()[0]["d"]
-            or 0
-        ),
+        "dict_digest": dict_digest(dcid_dict),
     }
     digest_path = os.path.join(snap, "_input_digest.json")
     tmp = digest_path + ".tmp"
