@@ -16,7 +16,7 @@ only final candidate verification may touch Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from import_spark.operators.canonicalize import (
@@ -167,6 +167,16 @@ def minhash_dedup(
     if jaccard_threshold is not None:
         verified = ngram_jaccard_pairs(df, pairs, text_col, id_col, k)
         pairs = verified.filter(F.col("jaccard") >= jaccard_threshold)
+    # zero-padding makes string min == numeric min ONLY for
+    # non-negative numeric ids; string ids would throw
+    # IllegalFormatConversionException deep inside a task, so fail
+    # fast with a clear contract error instead
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"minhash_dedup requires a numeric {id_col!r} column "
+            f"(got {id_type}): the min-id canon rides as a zero-padded string"
+        )
     pad = "%020d"
     edges = pairs.select(
         F.format_string(pad, F.col("id_a")).alias("src"),
@@ -293,6 +303,10 @@ def embedding_near_dup_pairs_exact(
     id_type = emb.schema[id_col].dataType.simpleString()
     id_dtype = np.int64 if id_type in ("int", "bigint", "smallint", "tinyint") else object
     rows = emb.select(id_col, vec_col).collect()
+    if not rows:  # norm(axis=1) on a 0-d array would raise AxisError
+        return emb.sparkSession.createDataFrame(
+            [], f"a {id_type}, b {id_type}, cosine double"
+        )
     ids = np.array([r[0] for r in rows], dtype=id_dtype)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -354,19 +368,36 @@ def embedding_near_dup(
         emb, dim_row["d"], n_planes, n_bands, id_col, vec_col, seed
     )
     counts = sig.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
-    sig = sig.join(
-        F.broadcast(counts.filter(F.col("_n") > max_bucket).select("band", "bucket")),
-        ["band", "bucket"],
-        "left_anti",
+    hot_keys = F.broadcast(
+        counts.filter(F.col("_n") > max_bucket).select("band", "bucket")
     )
-    s2 = sig.select(
-        "band", "bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")
+    # hot buckets: same policy as minhash_dedup's cap — an over-cap
+    # (band, bucket) is a near-certain duplicate cluster, so emit O(B)
+    # unverified star edges to the bucket minimum instead of either the
+    # quadratic pair join OR (the former bug) dropping the bucket and
+    # detecting zero duplicates for exactly the most-duplicated vectors
+    star = (
+        sig.join(hot_keys, ["band", "bucket"])
+        .select("band", "bucket", F.col(id_col).cast("string").alias("_m"))
+        .withColumn("_hub", F.min("_m").over(Window.partitionBy("band", "bucket")))
+        .filter(F.col("_m") != F.col("_hub"))
+        .select(F.col("_hub").alias("src"), F.col("_m").alias("dst"))
+        .distinct()
     )
+    sig = sig.join(hot_keys, ["band", "bucket"], "left_anti")
+    # candidate DEDUP runs on the narrow (a, b) ids only — the wide
+    # embedding arrays never ride the dropDuplicates exchange (the
+    # measured ivf_ann_topk lesson, similarity.py) — and the vectors
+    # join back for the cosine verify afterwards
+    s2 = sig.select("band", "bucket", F.col(id_col).alias("b"))
     cand = (
-        sig.select("band", "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+        sig.select("band", "bucket", F.col(id_col).alias("a"))
         .join(s2, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+        .join(emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va")), "a")
+        .join(emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")), "b")
     )
     # pandas-UDF cosine with native-fold bit parity (similarity._cosine)
     cos = _cosine(F.col("_va"), F.col("_vb"))
@@ -374,6 +405,7 @@ def embedding_near_dup(
         cand.withColumn("_cos", cos)
         .filter(F.col("_cos") >= threshold)
         .select(F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst"))
+        .unionByName(star)
     )
     fast = connected_components_fast(edges)
     comp = fast if fast is not None else connected_components(edges)

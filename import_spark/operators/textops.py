@@ -99,8 +99,10 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Marker-word language heuristic — vectorized pandas UDF; ties and
-    no-marker texts → 'und' (undetermined)."""
+    """Marker-word language heuristic — vectorized pandas UDF.
+    No-marker texts → 'und' (undetermined); ties keep the FIRST
+    language in LANG_MARKERS order (strict '>' comparison — the
+    behavior the oracle twin locks)."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     markers = {k: set(v) for k, v in LANG_MARKERS.items()}

@@ -326,3 +326,24 @@ def test_cosine_udf_bitwise_matches_native_fold(spark):
     assert len(out) == n
     for r in out:
         assert r.nat == r.pdc, (r.id, r.nat.hex(), r.pdc.hex())
+
+
+def test_embedding_near_dup_hot_bucket_star(spark):
+    """A degenerate all-identical cluster LARGER than max_bucket must
+    still dedup to one canon: over-cap (band, bucket)s emit star edges
+    to the bucket minimum (the minhash cap policy) instead of being
+    dropped — the former behavior detected ZERO duplicates for exactly
+    the most-duplicated vectors."""
+    from import_spark.operators.dedup import embedding_near_dup
+
+    n = 40
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)]
+    rows.append((n, [-4.0, 3.0, -2.0, 1.0]))  # unrelated vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    keep = embedding_near_dup(emb, threshold=0.9, max_bucket=10)
+    m = {int(r["vec_id"]): r["canon"] for r in keep.collect()}
+    # all 40 identical vectors collapse into one component rooted at 0
+    # (the root maps to itself implicitly and is absent from the map)
+    assert set(m.keys()) == set(range(1, n))
+    assert set(m.values()) == {"0"}
+    assert n not in m  # the unrelated vector forms no pair
