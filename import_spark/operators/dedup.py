@@ -352,9 +352,14 @@ def embedding_near_dup(
     Shape mirrors minhash_dedup: banded hyperplane-LSH buckets
     (candidates = same (band, bucket) — never an all-pairs join), hot
     buckets capped at ``max_bucket`` (degenerate all-identical buckets
-    are near-certain duplicates; cap bounds the quadratic pair blowup),
-    exact-cosine verification of candidates, connected components over
-    verified edges, min-id canonical representative."""
+    are near-certain duplicates — they emit O(B) star edges to the
+    bucket minimum, the minhash cap policy, instead of the quadratic
+    pair blowup), exact-cosine verification of candidates, connected
+    components over verified edges. The canon is the LEXICOGRAPHIC
+    minimum of the stringified ids (the oracle-locked contract; ids
+    ride CC as strings), and the returned id column is string-typed —
+    callers needing the numeric minimum should zero-pad ids first, as
+    minhash_dedup does."""
     from import_spark.operators.canonicalize import (
         connected_components,
         connected_components_fast,
