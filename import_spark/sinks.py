@@ -36,10 +36,17 @@ def write_observations(obs: DataFrame, path: str, mode: str = "overwrite") -> No
 def overwrite_provenance(df: DataFrame, path: str, provenance: str) -> None:
     """S10: replace exactly one provenance partition (idempotent
     re-import; dynamic partitionOverwriteMode replaces only the
-    partitions present in ``df``)."""
+    partitions present in ``df``).
+
+    The dynamic mode is set on the writer, not assumed from the session:
+    under Spark's default (static) overwrite mode this call would wipe
+    every other provenance partition — the reference contract deletes
+    only ``WHERE provenance = ?`` (SpannerClient.java:92-137).
+    """
     (
         df.withColumn("provenance", F.lit(provenance))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("provenance")
         .parquet(path)
     )

@@ -102,6 +102,36 @@ def test_sinks(spark, tmp_path):
     assert back.filter(F.col("provenance") == "importB").count() == 1
 
 
+def test_overwrite_provenance_default_session_conf(spark, tmp_path):
+    """S10 under Spark's DEFAULT overwrite mode (static): the dynamic
+    partitionOverwriteMode must be a writer option, not an assumption
+    about who built the SparkSession — otherwise re-importing one
+    provenance wipes every other partition (SpannerClient.java:92-137
+    deletes only WHERE provenance=?)."""
+    from import_spark.sinks import overwrite_provenance
+
+    obs = spark.createDataFrame(
+        [("e1", "v1", "2020", 1.0), ("e2", "v1", "2020", 2.0)],
+        ["entity", "variable", "date", "value"],
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "static")  # the Spark default, as in the driver's session
+    try:
+        p = str(tmp_path / "prov_static")
+        overwrite_provenance(obs, p, "provA")
+        overwrite_provenance(obs.limit(1), p, "provB")
+        overwrite_provenance(obs, p, "provA")  # re-import must not touch provB
+        back = spark.read.parquet(p)
+        assert back.filter(F.col("provenance") == "provA").count() == 2
+        assert back.filter(F.col("provenance") == "provB").count() == 1
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
 def test_incremental_ingest(spark, tmp_path):
     from import_spark.sources.transcripts import dcid_dictionary, generate_transcripts
     from import_spark.streaming.incremental import ingest_available_now
