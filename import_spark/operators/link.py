@@ -23,6 +23,47 @@ from pyspark.sql import functions as F
 from import_spark import vocabulary as V
 
 
+class DictionaryOverBudget(RuntimeError):
+    """A driver-dict fast path would collect more than its byte budget.
+
+    Callers catch this and fall back to the DataFrame join path — the
+    same bound the reference puts on its in-memory resolution state
+    (ExistenceChecker.java:28-30 pending cap, ReconClient.java:31
+    batch size): the dictionary is dimension-sized by construction, but
+    a 10^12-turn corpus with high-cardinality external ids can still
+    outgrow the driver, and that must degrade to a join, not an OOM.
+    """
+
+    def __init__(self, n_rows: int, budget_bytes: int):
+        super().__init__(
+            f"dictionary of {n_rows} rows exceeds the {budget_bytes}-byte "
+            "driver-collect budget; use the DataFrame join path"
+        )
+        self.n_rows = n_rows
+        self.budget_bytes = budget_bytes
+
+
+def _collect_dictionary_rows(pairs: DataFrame, budget_bytes: int | None) -> list:
+    """Gated driver collect for the (prop/ext-id → dcid) builders:
+    materialize once, count, byte-gate on sampled width, THEN collect —
+    the same localCheckpoint → fits_bytes shape as the checker's
+    collision fold (mcf_checker.py) and the CC driver fast path
+    (canonicalize.py). Raises :class:`DictionaryOverBudget` instead of
+    collecting when over budget."""
+    from import_spark.functions.size_gate import (
+        DRIVER_COLLECT_BUDGET_BYTES,
+        fits_bytes,
+    )
+
+    if budget_bytes is None:
+        budget_bytes = DRIVER_COLLECT_BUDGET_BYTES
+    pairs = pairs.localCheckpoint()
+    n = pairs.count()
+    if not fits_bytes(pairs, n, budget_bytes):
+        raise DictionaryOverBudget(n, budget_bytes)
+    return pairs.collect()
+
+
 def prepare_dictionary(dcid_dict: DataFrame) -> DataFrame:
     """Dedupe candidate dcids per (prop, ext_id): deterministic
     first-wins on sorted dcid (PropertyResolver.java:113 takes the
@@ -108,14 +149,10 @@ def link_statements(
     )
 
 
-def local_graph_dictionary(nodes: DataFrame) -> dict:
-    """J2 — local-graph seeding (ExternalIdResolver.addLocalGraph,
-    ExternalIdResolver.java:57-96): nodes that carry BOTH an external id
-    and a dcid contribute ``(id_prop, id_value) → dcid`` entries, so
-    references to those external ids resolve to the local nodes without
-    a remote lookup. Deterministic first-wins (min dcid) on conflicts.
-
-    ``nodes``: long-form (node_id, prop, value) rows."""
+def local_graph_dictionary_df(nodes: DataFrame) -> DataFrame:
+    """J2 local-graph seed as a (prop, ext_id, dcid) DataFrame — the
+    shape :func:`prepare_dictionary` and the over-budget fallback paths
+    consume. Deterministic first-wins (min dcid) on conflicts."""
     ext_props = list(V.PLACE_RESOLVABLE_AND_ASSIGNABLE_IDS)
     ids = nodes.filter(F.col("prop").isin(*ext_props)).select(
         "node_id", F.col("prop").alias("id_prop"), F.col("value").alias("id_val")
@@ -125,13 +162,31 @@ def local_graph_dictionary(nodes: DataFrame) -> dict:
         .groupBy("node_id")
         .agg(F.min("value").alias("dcid"))
     )
-    pairs = (
+    return (
         ids.join(dcids, "node_id")
         .groupBy("id_prop", "id_val")
         .agg(F.min("dcid").alias("dcid"))
-        .collect()
+        .select(
+            F.col("id_prop").alias("prop"),
+            F.col("id_val").alias("ext_id"),
+            "dcid",
+        )
     )
-    return {(r["id_prop"], r["id_val"]): r["dcid"] for r in pairs}
+
+
+def local_graph_dictionary(nodes: DataFrame, budget_bytes: int | None = None) -> dict:
+    """J2 — local-graph seeding (ExternalIdResolver.addLocalGraph,
+    ExternalIdResolver.java:57-96): nodes that carry BOTH an external id
+    and a dcid contribute ``(id_prop, id_value) → dcid`` entries, so
+    references to those external ids resolve to the local nodes without
+    a remote lookup. Deterministic first-wins (min dcid) on conflicts.
+
+    ``nodes``: long-form (node_id, prop, value) rows. Raises
+    :class:`DictionaryOverBudget` when the seed set exceeds the driver
+    budget — callers use :func:`local_graph_dictionary_df` + the join
+    path instead."""
+    pairs = _collect_dictionary_rows(local_graph_dictionary_df(nodes), budget_bytes)
+    return {(r["prop"], r["ext_id"]): r["dcid"] for r in pairs}
 
 
 def derive_transcript_dictionary(
@@ -186,35 +241,53 @@ def derive_transcript_dictionary(
     )
 
 
-def derive_node_dictionary(nodes: DataFrame, recon_table: DataFrame) -> dict:
-    """The same two-pass derivation over long-form MCF statement rows
-    (the genmcf shape): pass 1 collects the distinct external-id
-    working set from the parsed graph (ExternalIdResolver.submitNode,
-    ExternalIdResolver.java:98-130), the join against the offline recon
-    table stands in for drainRemoteCalls. Returns the dictionary as a
-    driver dict (dimension-sized), ready for run_genmcf's dcid_dict."""
+def derive_node_dictionary_df(nodes: DataFrame, recon_table: DataFrame) -> DataFrame:
+    """Two-pass dictionary derivation as a (prop, ext_id, dcid)
+    DataFrame (never touches the driver): pass 1 collects the distinct
+    external-id working set from the parsed graph, the join against the
+    offline recon table stands in for drainRemoteCalls."""
     ext_props = list(V.PLACE_RESOLVABLE_AND_ASSIGNABLE_IDS)
     working_set = (
         nodes.filter(F.col("prop").isin(*ext_props))
         .select(F.col("prop"), F.col("value").alias("ext_id"))
         .distinct()
     )
-    hits = (
+    return (
         recon_table.join(working_set, ["prop", "ext_id"], "left_semi")
         .groupBy("prop", "ext_id")
         .agg(F.min("dcid").alias("dcid"))
-        .collect()
+    )
+
+
+def derive_node_dictionary(
+    nodes: DataFrame, recon_table: DataFrame, budget_bytes: int | None = None
+) -> dict:
+    """The same two-pass derivation over long-form MCF statement rows
+    (the genmcf shape): pass 1 collects the distinct external-id
+    working set from the parsed graph (ExternalIdResolver.submitNode,
+    ExternalIdResolver.java:98-130), the join against the offline recon
+    table stands in for drainRemoteCalls. Returns the dictionary as a
+    driver dict (dimension-sized), ready for run_genmcf's dcid_dict.
+    Raises :class:`DictionaryOverBudget` when the working-set hits
+    exceed the driver budget — callers use
+    :func:`derive_node_dictionary_df` + :func:`preassign_place_dcids`
+    instead."""
+    hits = _collect_dictionary_rows(
+        derive_node_dictionary_df(nodes, recon_table), budget_bytes
     )
     return {(r["prop"], r["ext_id"]): r["dcid"] for r in hits}
 
 
-def dcid_map_from_df(dcid_dict: DataFrame) -> dict:
+def dcid_map_from_df(dcid_dict: DataFrame, budget_bytes: int | None = None) -> dict:
     """Collect the (small) dictionary to a driver dict for UDF-closure
     broadcast (the fused extract+link path). Deterministic first-wins
-    per (prop, ext_id) like prepare_dictionary."""
+    per (prop, ext_id) like prepare_dictionary. Raises
+    :class:`DictionaryOverBudget` when the dictionary exceeds the
+    driver budget — callers fall back to :func:`link_statements`'s
+    broadcast/salted join strategies."""
     return {
         (r["prop"], r["ext_id"]): r["dcid"]
-        for r in prepare_dictionary(dcid_dict).collect()
+        for r in _collect_dictionary_rows(prepare_dictionary(dcid_dict), budget_bytes)
     }
 
 

@@ -43,6 +43,51 @@ from import_spark.sources.mcf import write_mcf
 from import_spark.sources.tmcf import expand_template
 
 
+def _combined_dictionary_df(
+    spark: SparkSession,
+    stmts: DataFrame,
+    mutated: DataFrame,
+    dcid_dict: dict | None,
+    recon_table: DataFrame | None,
+    seed_local_graph: bool,
+) -> DataFrame:
+    """All dictionary sources as one (prop, ext_id, dcid) DataFrame,
+    highest-precedence entry winning per key: local-graph seeds (2) >
+    explicit dcid_dict (1) > recon-derived (0) — the same later-wins
+    order the in-driver ``dict.update`` chain applies."""
+    from import_spark.operators.link import (
+        derive_node_dictionary_df,
+        local_graph_dictionary_df,
+    )
+
+    parts = []
+    if recon_table is not None:
+        parts.append(
+            derive_node_dictionary_df(stmts, recon_table).withColumn("_pri", F.lit(0))
+        )
+    if dcid_dict:
+        parts.append(
+            spark.createDataFrame(
+                [(p, e, d) for (p, e), d in dcid_dict.items()],
+                "prop string, ext_id string, dcid string",
+            ).withColumn("_pri", F.lit(1))
+        )
+    if seed_local_graph:
+        parts.append(
+            local_graph_dictionary_df(mutated).withColumn("_pri", F.lit(2))
+        )
+    if not parts:
+        return spark.createDataFrame([], "prop string, ext_id string, dcid string")
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("prop", "ext_id")
+        .agg(F.max_by("dcid", "_pri").alias("dcid"))
+        .select("prop", "ext_id", "dcid")
+    )
+
+
 @dataclass
 class GenMcfResult:
     nodes: DataFrame  # resolved long-form statements
@@ -140,26 +185,48 @@ def run_genmcf(
     # 4. resolve — dictionary = caller's (the Recon stand-in) + local-
     # graph seeding (J2: external ids defined WITH a dcid in this very
     # import resolve to the local nodes, ExternalIdResolver.addLocalGraph)
-    full_dict = {}
-    if recon_table is not None:
-        from import_spark.operators.link import derive_node_dictionary
-
-        # FULL-resolution pass 1: the materialized expansion IS the
-        # first scan (the reference re-reads the CSVs because it
-        # streams; a pruned re-scan of the checkpoint is the Spark
-        # analogue), the recon join stands in for the batched API calls
-        full_dict.update(derive_node_dictionary(stmts, recon_table))
-    full_dict.update(dcid_dict or {})
-    if seed_local_graph:
-        from import_spark.operators.link import local_graph_dictionary
-
-        full_dict.update(local_graph_dictionary(mutated))
-    res = resolve_graph(
-        mutated,
-        assign_statvar_dcids=assign_statvar_dcids,
-        dcid_dict=full_dict or None,
-        force_distributed=force_distributed_resolve,
+    from import_spark.operators.link import (
+        DictionaryOverBudget,
+        derive_node_dictionary,
+        local_graph_dictionary,
     )
+
+    full_dict = {}
+    dict_over_budget = False
+    try:
+        if recon_table is not None:
+            # FULL-resolution pass 1: the materialized expansion IS the
+            # first scan (the reference re-reads the CSVs because it
+            # streams; a pruned re-scan of the checkpoint is the Spark
+            # analogue), the recon join stands in for the batched API
+            # calls
+            full_dict.update(derive_node_dictionary(stmts, recon_table))
+        full_dict.update(dcid_dict or {})
+        if seed_local_graph:
+            full_dict.update(local_graph_dictionary(mutated))
+    except DictionaryOverBudget:
+        # over-budget regime: the dictionary never touches the driver —
+        # rebuild ALL sources as one (prop, ext_id, dcid) DataFrame
+        # with the same precedence (local-graph > explicit dcid_dict >
+        # recon-derived, matching the dict.update order above) and run
+        # the join-based distributed resolver
+        dict_over_budget = True
+    if dict_over_budget:
+        dict_df = _combined_dictionary_df(
+            spark, stmts, mutated, dcid_dict, recon_table, seed_local_graph
+        )
+        res = resolve_graph(
+            mutated,
+            assign_statvar_dcids=assign_statvar_dcids,
+            dict_df=dict_df,
+        )
+    else:
+        res = resolve_graph(
+            mutated,
+            assign_statvar_dcids=assign_statvar_dcids,
+            dcid_dict=full_dict or None,
+            force_distributed=force_distributed_resolve,
+        )
 
     # materialize the (small) error set ONCE: it feeds the report union,
     # the failed-sanity counter AND the returned frame — unmaterialized,

@@ -175,6 +175,16 @@ def _resolve_link_strategy(dcid_dict: DataFrame, requested: str) -> str:
     return "salted"
 
 
+def _join_strategy_for(dcid_dict: DataFrame) -> str:
+    """broadcast vs salted for a dictionary that cannot be a driver
+    closure: broadcast while it fits the executor broadcast budget,
+    hot-key salted shuffle beyond."""
+    from import_spark.functions.size_gate import BROADCAST_BUDGET_BYTES, fits_bytes
+
+    n = dcid_dict.count()
+    return "broadcast" if fits_bytes(dcid_dict, n, BROADCAST_BUDGET_BYTES) else "salted"
+
+
 def _link_plan(
     transcripts: DataFrame,
     dcid_dict: DataFrame,
@@ -189,8 +199,18 @@ def _link_plan(
     downstream ``_cls`` filter prunes the same rows."""
     if strategy == "fused":
         if dmap is None:
-            dmap = dcid_map_from_df(dcid_dict)
-        return extract_and_link(transcripts, dmap, narrow_only=narrow_only)
+            from import_spark.operators.link import DictionaryOverBudget
+
+            try:
+                dmap = dcid_map_from_df(dcid_dict)
+            except DictionaryOverBudget:
+                # explicit "fused" with an over-budget dictionary:
+                # degrade to the join path rather than OOM the driver
+                # (auto mode never picks fused in this regime —
+                # _resolve_link_strategy's size gate)
+                strategy = _join_strategy_for(dcid_dict)
+        if dmap is not None:
+            return extract_and_link(transcripts, dmap, narrow_only=narrow_only)
     cols = [f.name for f in FUSED_SCHEMA.fields]
     return link_statements(
         extract_statements(transcripts), dcid_dict, strategy=strategy
@@ -291,7 +311,14 @@ def run_pipeline(
         # cores on a box (and at 100 TB the fat intermediate could
         # never be cached at all; persisting small side-outputs and
         # recomputing narrow lineage is the only design that survives).
-        dmap = dcid_map_from_df(dcid_dict) if link_strategy == "fused" else None
+        dmap = None
+        if link_strategy == "fused":
+            from import_spark.operators.link import DictionaryOverBudget
+
+            try:
+                dmap = dcid_map_from_df(dcid_dict)
+            except DictionaryOverBudget:
+                link_strategy = _join_strategy_for(dcid_dict)
         full = _with_cls(_link_plan(transcripts, dcid_dict, link_strategy, dmap=dmap))
         linked = None
         narrow = (

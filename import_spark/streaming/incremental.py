@@ -57,10 +57,15 @@ def ingest_available_now(
         .option("maxFilesPerTrigger", 64)
         .parquet(transcripts_dir)
     )
+    from import_spark.plans.kg_pipeline import _join_strategy_for
+
+    strategy = _join_strategy_for(dcid_dict)
     n_batches = {"n": 0}
 
     def process(batch_df, batch_id: int) -> None:
-        linked = link_statements(extract_statements(batch_df), dcid_dict)
+        linked = link_statements(
+            extract_statements(batch_df), dcid_dict, strategy=strategy
+        )
         (
             linked.withColumn("_b", F.lit(batch_id))
             .write.mode("overwrite")
@@ -114,7 +119,17 @@ def ingest_to_pipeline_snapshot(
 
     snap = os.path.join(checkpoint_dir, run_id, "linked")
     offsets = os.path.join(checkpoint_dir, run_id, "stream_offsets")
-    dmap = dcid_map_from_df(dcid_dict)
+    from import_spark.operators.link import DictionaryOverBudget
+    from import_spark.plans.kg_pipeline import _join_strategy_for, _link_plan
+
+    try:
+        dmap = dcid_map_from_df(dcid_dict)
+        join_strategy = None
+    except DictionaryOverBudget:
+        # over-budget dictionary: per-batch unfused extract + join link
+        # (broadcast/salted by size), same output contract as fused
+        dmap = None
+        join_strategy = _join_strategy_for(dcid_dict)
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -123,9 +138,11 @@ def ingest_to_pipeline_snapshot(
     n_batches = {"n": 0}
 
     def process(batch_df, batch_id: int) -> None:
-        out = _with_cls(extract_and_link(batch_df, dmap)).withColumn(
-            "_b", F.lit(batch_id)
-        )
+        if dmap is not None:
+            linked = extract_and_link(batch_df, dmap)
+        else:
+            linked = _link_plan(batch_df, dcid_dict, join_strategy)
+        out = _with_cls(linked).withColumn("_b", F.lit(batch_id))
         # dynamic overwrite forced at the writer: with the Spark
         # default (static) a caller-supplied session would truncate
         # every earlier batch's partitions on each micro-batch
