@@ -4165,3 +4165,76 @@ ORDER BY subject_id, predicate, object_id
 
 QUERIES["svg_prune"] = q_svg_prune
 ORACLE_SQL["svg_prune"] = SQL_SVG_PRUNE
+
+
+# ---------------- NL sentence generation (simple/stats/nl.py) ----------------
+
+
+def q_simple_nl_sentences(spark, sf):
+    """NL sentence generation (nl.py:40-80, SentenceCandidates
+    :131-155): synthesize SV/Topic triples from the documents table —
+    every subject gets a name (two for doc_id%5==0: LAST wins), doc_id
+    %3==0 subjects get two searchDescriptions (which take precedence
+    and join with ';') — then run the DataFrame aggregation.
+    Bit-parity with the reference goldens is tests/test_nl_sentences.py."""
+    from import_spark.operators.nl_sentences import nl_sentences
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("long").alias("id"))
+    subj = F.concat(F.lit("sv/"), F.col("id").cast("string"))
+    sid = F.col("id").cast("string")
+
+    def _tr(pred, obj_id, obj_val, off):
+        return F.struct(
+            subj.alias("subject_id"),
+            F.lit(pred).alias("predicate"),
+            obj_id.alias("object_id"),
+            obj_val.alias("object_value"),
+            (F.col("id") * 10 + off).alias("_idx"),
+        )
+
+    e = F.lit("")
+    base = F.array(
+        _tr(
+            "typeOf",
+            F.when(F.col("id") % 2 == 0, F.lit("StatisticalVariable")).otherwise(
+                F.lit("Topic")
+            ),
+            e,
+            F.lit(0),
+        ),
+        _tr("name", e, F.concat(F.lit("Var "), sid, F.lit(" v1")), F.lit(1)),
+    )
+    t_schema = (
+        "array<struct<subject_id:string,predicate:string,object_id:string,"
+        "object_value:string,_idx:bigint>>"
+    )
+    renames = F.when(
+        F.col("id") % 5 == 0,
+        F.array(_tr("name", e, F.concat(F.lit("Var "), sid, F.lit(" v2")), F.lit(2))),
+    ).otherwise(F.array().cast(t_schema))
+    sds = F.when(
+        F.col("id") % 3 == 0,
+        F.array(
+            _tr("searchDescription", e, F.concat(F.lit("search one "), sid), F.lit(3)),
+            _tr("searchDescription", e, F.concat(F.lit("search two "), sid), F.lit(4)),
+        ),
+    ).otherwise(F.array().cast(t_schema))
+    triples = d.select(
+        F.explode(F.concat(base, renames, sds)).alias("r")
+    ).select("r.*")
+    return nl_sentences(triples, order_col="_idx")
+
+
+SQL_SIMPLE_NL = """
+SELECT 'sv/' || CAST(doc_id AS VARCHAR) AS dcid,
+       CASE
+         WHEN doc_id % 3 = 0 THEN
+           'search one ' || CAST(doc_id AS VARCHAR) || ';search two ' || CAST(doc_id AS VARCHAR)
+         WHEN doc_id % 5 = 0 THEN 'Var ' || CAST(doc_id AS VARCHAR) || ' v2'
+         ELSE 'Var ' || CAST(doc_id AS VARCHAR) || ' v1'
+       END AS sentence
+FROM documents
+"""
+
+QUERIES["simple_nl_sentences"] = q_simple_nl_sentences
+ORACLE_SQL["simple_nl_sentences"] = SQL_SIMPLE_NL
