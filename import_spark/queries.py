@@ -4238,3 +4238,70 @@ FROM documents
 
 QUERIES["simple_nl_sentences"] = q_simple_nl_sentences
 ORACLE_SQL["simple_nl_sentences"] = SQL_SIMPLE_NL
+
+
+# ---------------- SVG serving-cache fold (simple/stats/svg_cache.py) ----------------
+
+
+def q_svg_cache_nodes(spark, sf):
+    """StatVarGroups cache fold (svg_cache.py:55-122): synthesize SVG +
+    SV triples from the nation table (each nation an SVG specializing a
+    shared parent by n_nationkey%5, one member SV each), fold to the
+    node map, return per-node summary rows. Byte-level parity with the
+    reference goldens (textproto + gzip blob) is tests/test_svg_cache.py."""
+    from import_spark.operators.svg_cache import svg_cache_from_triples
+
+    n = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), "n_name"
+    )
+    kstr = F.col("k").cast("string")
+    svg = F.concat(F.lit("svg/"), kstr)
+    parent = F.concat(F.lit("svg/p"), (F.col("k") % 5).cast("string"))
+    sv = F.concat(F.lit("sv/"), kstr)
+    e = F.lit("")
+
+    def _tr(subj, pred, oid, oval, off):
+        return F.struct(
+            subj.alias("subject_id"),
+            F.lit(pred).alias("predicate"),
+            oid.alias("object_id"),
+            oval.alias("object_value"),
+            (F.col("k") * 10 + off).alias("_idx"),
+        )
+
+    triples = n.select(
+        F.explode(
+            F.array(
+                _tr(svg, "typeOf", F.lit("StatVarGroup"), e, F.lit(0)),
+                _tr(svg, "name", e, F.concat(F.lit("Group "), F.col("n_name")), F.lit(1)),
+                _tr(svg, "specializationOf", parent, e, F.lit(2)),
+                _tr(sv, "typeOf", F.lit("StatisticalVariable"), e, F.lit(3)),
+                _tr(sv, "name", e, F.concat(F.lit("Var "), kstr), F.lit(4)),
+                _tr(sv, "memberOf", svg, e, F.lit(5)),
+            )
+        ).alias("r")
+    ).select("r.*")
+    nodes = svg_cache_from_triples(triples, order_col="_idx")
+    rows = [
+        (svg_id, node.absolute_name, len(node.child_stat_var_groups), len(node.child_stat_vars))
+        for svg_id, node in nodes.items()
+    ]
+    return spark.createDataFrame(
+        rows, "svg_id string, absolute_name string, n_child_svgs int, n_child_svs int"
+    )
+
+
+SQL_SVG_CACHE = """
+SELECT 'svg/' || CAST(n_nationkey AS VARCHAR) AS svg_id,
+       'Group ' || n_name AS absolute_name,
+       0 AS n_child_svgs, 1 AS n_child_svs
+FROM nation
+UNION ALL
+SELECT 'svg/p' || CAST(n_nationkey % 5 AS VARCHAR) AS svg_id,
+       '' AS absolute_name,
+       COUNT(*) AS n_child_svgs, 0 AS n_child_svs
+FROM nation GROUP BY n_nationkey % 5
+"""
+
+QUERIES["svg_cache_nodes"] = q_svg_cache_nodes
+ORACLE_SQL["svg_cache_nodes"] = SQL_SVG_CACHE
