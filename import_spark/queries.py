@@ -4305,3 +4305,104 @@ FROM nation GROUP BY n_nationkey % 5
 
 QUERIES["svg_cache_nodes"] = q_svg_cache_nodes
 ORACLE_SQL["svg_cache_nodes"] = SQL_SVG_CACHE
+
+
+# ---------------- spec-driven SVG generation (StatVarGroupSpec/DPV) ----------------
+
+
+def q_svg_spec_edges(spark, sf):
+    """Spec-driven StatVarGroup generation (stat_var_group_generator.py
+    :107-913): one StatVarGroupSpec per popType routing to a vertical,
+    one gendered SV per nation; the generator must emit the leaf/mid/
+    bare lattice, vertical attachment and linkedMemberOf closure with
+    import-scoped generated provenances. The reference's own e2e
+    assertions are replicated in tests/test_svg_spec.py."""
+    from import_spark.operators.svg_spec import generate_spec_svgs
+
+    n = _t(spark, sf, "nation").select(F.col("n_nationkey").cast("long").alias("k"))
+    p = (F.col("k") % 3).cast("string")
+    j = (F.col("k") % 2).cast("string")
+    g = F.when(F.col("k") % 2 == 0, F.lit("Female")).otherwise(F.lit("Male"))
+    sv = F.concat(F.lit("sv/"), F.col("k").cast("string"))
+    pop = F.concat(F.lit("Pop"), p)
+    vert = F.concat(F.lit("c/g/V"), p)
+    prov = F.concat(F.lit("Imp"), j)
+
+    def _e(s, pr, o, pv):
+        return F.struct(
+            s.alias("subject_id"), F.lit(pr).alias("predicate"),
+            o.alias("object_id"), pv.alias("provenance"),
+        )
+
+    def _e2(s, pr, o, pv):
+        return F.struct(
+            s.alias("subject_id"), pr.alias("predicate"),
+            o.alias("object_id"), pv.alias("provenance"),
+        )
+
+    sv_edges = n.select(
+        F.explode(
+            F.array(
+                _e(sv, "typeOf", F.lit("StatisticalVariable"), prov),
+                _e(sv, "populationType", pop, prov),
+                _e(sv, "constraintProperties", F.lit("gender"), prov),
+                _e2(sv, F.lit("gender"), g, prov),
+            )
+        ).alias("r")
+    ).select("r.*")
+    spec = F.concat(F.lit("Spec"), p)
+    spec_edges = (
+        n.select(
+            F.explode(
+                F.array(
+                    _e(spec, "typeOf", F.lit("StatVarGroupSpec"), F.lit("Specs")),
+                    _e(spec, "populationType", pop, F.lit("Specs")),
+                    _e(spec, "vertical", vert, F.lit("Specs")),
+                    _e(vert, "specializationOf", F.lit("c/g/Root"), F.lit("Specs")),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .distinct()
+    )
+    res = generate_spec_svgs(sv_edges.unionByName(spec_edges), None, is_base_dc=False)
+    return (
+        res.edges.filter(
+            F.col("predicate").isin("memberOf", "specializationOf", "linkedMemberOf")
+        )
+        .orderBy("subject_id", "predicate", "object_id", "provenance")
+        .select("subject_id", "predicate", "object_id", "provenance")
+    )
+
+
+SQL_SVG_SPEC = """
+WITH base AS (
+  SELECT 'sv/' || CAST(n_nationkey AS VARCHAR) AS sv,
+         CAST(n_nationkey % 3 AS VARCHAR) AS p,
+         CASE WHEN n_nationkey % 2 = 0 THEN 'Female' ELSE 'Male' END AS g,
+         'generated/Imp' || CAST(n_nationkey % 2 AS VARCHAR) AS prov
+  FROM nation
+), named AS (
+  SELECT sv, prov,
+         'c/g/Pop' || p || '_Gender-' || g AS leaf,
+         'c/g/Pop' || p || '_Gender' AS mid,
+         'c/g/Pop' || p AS bare,
+         'c/g/V' || p AS vert
+  FROM base
+)
+SELECT DISTINCT * FROM (
+  SELECT sv AS subject_id, 'memberOf' AS predicate, leaf AS object_id, prov AS provenance FROM named
+  UNION ALL SELECT sv, 'linkedMemberOf', leaf, prov FROM named
+  UNION ALL SELECT sv, 'linkedMemberOf', mid, prov FROM named
+  UNION ALL SELECT sv, 'linkedMemberOf', bare, prov FROM named
+  UNION ALL SELECT sv, 'linkedMemberOf', 'c/g/Root', prov FROM named
+  UNION ALL SELECT sv, 'linkedMemberOf', vert, prov FROM named
+  UNION ALL SELECT leaf, 'specializationOf', mid, prov FROM named
+  UNION ALL SELECT mid, 'specializationOf', bare, prov FROM named
+  UNION ALL SELECT leaf, 'specializationOf', vert, prov FROM named
+)
+ORDER BY subject_id, predicate, object_id, provenance
+"""
+
+QUERIES["svg_spec_edges"] = q_svg_spec_edges
+ORACLE_SQL["svg_spec_edges"] = SQL_SVG_SPEC
