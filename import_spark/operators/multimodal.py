@@ -79,24 +79,33 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def extract_features(
-    media: DataFrame, feature_dim: int = 8, decoder: str = "fake"
+    media: DataFrame, feature_dim: int = 8, decoder="fake"
 ) -> DataFrame:
     """Decode + featurize each payload in Arrow batches.
 
-    ``decoder='real'`` is the integration point for an actual codec —
-    stubbed here (NotImplementedError) because the container ships no
-    image/audio libraries.
+    ``decoder`` is the codec injection seam: pass a CALLABLE
+    ``(payload: bytes, dim: int) -> sequence[float]`` to plug in a real
+    codec (PIL/torchvision/ffmpeg) with zero operator changes — the
+    callable ships to executors in the UDF closure, everything else
+    (schema, Arrow batching, partitioning) is unchanged. The string
+    forms: ``'fake'`` = the deterministic stand-in, ``'real'`` = the
+    stubbed built-in integration point (no codec libraries in this
+    container).
     """
     if decoder == "real":
         raise NotImplementedError(
             "real decoders (PIL/ffmpeg) are not available in this container; "
-            "use decoder='fake' for the deterministic stand-in"
+            "use decoder='fake' or inject a callable (payload, dim) -> features"
         )
+    decode = _fake_decode if decoder == "fake" else decoder
+    if not callable(decode):
+        raise ValueError(f"decoder must be 'fake', 'real' or a callable; got {decoder!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode(bytes(p), feature_dim).tolist() for p in pdf["payload"]
+                list(map(float, decode(bytes(p), feature_dim)))
+                for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
@@ -135,31 +144,41 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: ``sha256(orig || "WxH")``-seeded
+    bytes of length width*height//64."""
+    n_out = max(width * height // 64, 16)
+    seed = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+    reps = (n_out + len(seed) - 1) // len(seed)
+    return (seed * reps)[:n_out]
+
+
 def resize_images(
-    media: DataFrame, width: int, height: int, decoder: str = "fake"
+    media: DataFrame, width: int, height: int, decoder="fake"
 ) -> DataFrame:
     """Resize every image payload to (width, height) — Arrow-batched
     ``mapInPandas``, one decode+resize+encode per payload inside the
-    batch loop. ``decoder='real'`` is the PIL integration point
-    (stubbed: no image libraries in this container); the fake decoder
-    emits a deterministic stand-in payload
-    ``sha256(orig || "WxH")``-seeded bytes of length width*height//64,
-    so batch shape, schema, and partition behavior are real and
-    testable."""
+    batch loop.
+
+    ``decoder`` is the codec injection seam: pass a CALLABLE
+    ``(payload: bytes, width: int, height: int) -> bytes`` to plug in a
+    real PIL/opencv resize with zero operator changes (the callable
+    rides the UDF closure). ``'fake'`` = the deterministic stand-in,
+    ``'real'`` = the stubbed built-in integration point (no image
+    libraries in this container); batch shape, schema and partition
+    behavior are real and tested either way."""
     if decoder == "real":
         raise NotImplementedError(
             "real image resize (PIL) is not available in this container; "
-            "use decoder='fake' for the deterministic stand-in"
+            "use decoder='fake' or inject a callable (payload, w, h) -> bytes"
         )
+    resize = _fake_resize if decoder == "fake" else decoder
+    if not callable(resize):
+        raise ValueError(f"decoder must be 'fake', 'real' or a callable; got {decoder!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n_out = max(width * height // 64, 16)
         for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
-                seed = hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
-                reps = (n_out + len(seed) - 1) // len(seed)
-                out.append((seed * reps)[:n_out])
+            out = [bytes(resize(bytes(p), width, height)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

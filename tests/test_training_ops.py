@@ -347,3 +347,41 @@ def test_embedding_near_dup_hot_bucket_star(spark):
     assert set(m.keys()) == set(range(1, n))
     assert set(m.values()) == {"0"}
     assert n not in m  # the unrelated vector forms no pair
+
+
+def test_multimodal_decoder_injection_seam(spark):
+    """The codec injection seam: a user-supplied callable replaces the
+    fake decoder with ZERO operator changes — it rides the UDF closure
+    to executors, schema/batching untouched. A PIL/ffmpeg swap is this
+    exact shape."""
+    from import_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, 8, feature_dim=4)
+
+    class FakeCodec:
+        """Stands in for e.g. PIL: decode → featurize / resize."""
+
+        def features(self, payload: bytes, dim: int):
+            return [float(len(payload) % 97)] * dim
+
+        def resize(self, payload: bytes, w: int, h: int) -> bytes:
+            return bytes([w % 256, h % 256]) + payload[:4]
+
+    codec = FakeCodec()
+    rows = extract_features(media, feature_dim=4, decoder=codec.features).collect()
+    assert len(rows) == 8
+    # the injected featurizer emits a constant 4-vector per payload
+    assert all(len(r.feature) == 4 and r.feature.count(r.feature[0]) == 4 for r in rows)
+
+    resized = resize_images(media, 64, 32, decoder=codec.resize).collect()
+    assert all(bytes(r.payload)[:2] == bytes([64, 32]) for r in resized)
+    assert all(r.width == 64 and r.height == 32 for r in resized)
+
+    with pytest.raises(ValueError):
+        extract_features(media, decoder=123)
+    with pytest.raises(ValueError):
+        resize_images(media, 8, 8, decoder=object())
