@@ -189,3 +189,101 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+# ------------------------------------------------------------------ PII
+
+# Pattern table shared with the SQL oracle twin (queries.py builds its
+# DuckDB expressions from the same strings). Kept to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): character
+# classes, greedy counted quantifiers, \b word boundaries — no
+# lookaround, no backrefs.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts (emails, SSN-shaped ids, IPv4s,
+    phone-shaped digit runs) — pure native ``regexp_count``, zero
+    shuffle, zero Python. The pattern ORDER matters for redaction (an
+    SSN also matches the phone shape; see :func:`pii_redact`) but scan
+    counts are independent."""
+    cols = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return df.select(F.col(id_col), *cols).withColumn("n_pii", total)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Replace every PII hit with a typed placeholder, applying the
+    patterns in :data:`PII_PATTERNS` order — email before phone (a
+    long digit run inside an address must not be phone-redacted first)
+    and SSN before phone (an SSN matches the looser phone shape).
+    Native ``regexp_replace`` chain, zero shuffle."""
+    red = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return df.select(F.col(id_col), red.alias("text"))
+
+
+# -------------------------------------------------- decontamination
+
+def _word_ngrams(text_col, n: int):
+    """Lowercased whitespace-token n-grams as a native array column
+    (split → sequence → slice/array_join); empty when the document has
+    fewer than ``n`` tokens."""
+    words = F.filter(
+        F.split(F.lower(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """DISTINCT word n-grams of a benchmark/eval set — the (small)
+    contamination dictionary. Benchmarks are dimension-sized, so this
+    frame broadcasts."""
+    return (
+        benchmark.select(F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one word ``n``-gram with the benchmark set; returns
+    (id, n_hits = DISTINCT shared n-grams), contaminated docs only.
+
+    Scale shape: the benchmark n-gram dictionary is broadcast (eval
+    sets are tiny next to a training corpus); the corpus side explodes
+    to per-doc DISTINCT n-grams (one narrow projection — at 100 TB the
+    explode streams, nothing wide is materialized) and the hit count is
+    one partial-aggregated groupBy on the (rare) matches."""
+    bench = benchmark_ngrams(benchmark, n, text_col)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        doc_grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )

@@ -4406,3 +4406,123 @@ ORDER BY subject_id, predicate, object_id, provenance
 
 QUERIES["svg_spec_edges"] = q_svg_spec_edges
 ORACLE_SQL["svg_spec_edges"] = SQL_SVG_SPEC
+
+
+# ---------------- PII + decontamination (training-data pipeline ops) ----------------
+
+_PII_TEXT = None
+
+
+def _pii_text_col():
+    """Deterministic PII-bearing text over the documents table: every
+    doc gets a synthetic email, every 3rd an SSN, every 4th a phone —
+    appended to the real text so base-text accidental matches are
+    exercised too. The SQL twin builds the same string."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" call +1 (555) 010-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_TEXT_SQL = """
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+    || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+"""
+
+
+def q_pii_scan(spark, sf):
+    """PII detection: native regexp_count per pattern class (emails,
+    SSN-shaped, IPv4, phone-shaped digit runs) — zero shuffle, zero
+    Python (operators/textops.py PII_PATTERNS, shared with the oracle)."""
+    from import_spark.operators.textops import pii_scan
+
+    d = _t(spark, sf, "documents").select("doc_id", _pii_text_col().alias("text"))
+    return pii_scan(d)
+
+
+def _sql_pii_scan():
+    from import_spark.operators.textops import PII_PATTERNS
+
+    cols = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+SELECT doc_id, {cols}, {total} AS n_pii FROM t
+"""
+
+
+def q_pii_redact(spark, sf):
+    """PII redaction: typed-placeholder regexp_replace chain in
+    PII_PATTERNS order (email before phone, SSN before phone); gated by
+    md5 of the fully redacted text."""
+    from import_spark.operators.textops import pii_redact
+
+    d = _t(spark, sf, "documents").select("doc_id", _pii_text_col().alias("text"))
+    return pii_redact(d).select("doc_id", F.md5("text").alias("red_md5"))
+
+
+def _sql_pii_redact():
+    from import_spark.operators.textops import PII_PATTERNS
+
+    expr = "text"
+    for _, pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+SELECT doc_id, md5({expr}) AS red_md5 FROM t
+"""
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: docs with doc_id%17==0 act as the
+    eval set; every other document sharing a 5-word n-gram with it is
+    flagged with its DISTINCT shared-gram count. Broadcast benchmark
+    dictionary, one narrow explode on the corpus side
+    (operators/textops.py decontaminate)."""
+    from import_spark.operators.textops import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(corpus, bench, n=5).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+  FROM words, UNNEST(range(1, greatest(len(w) - 3, 1))) t(i)
+  WHERE len(w) >= 5
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0
+), corpus AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 17 <> 0
+)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM corpus JOIN bench USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["pii_scan"] = q_pii_scan
+QUERIES["pii_redact"] = q_pii_redact
+QUERIES["decontaminate"] = q_decontaminate
+ORACLE_SQL["pii_scan"] = _sql_pii_scan()
+ORACLE_SQL["pii_redact"] = _sql_pii_redact()
+ORACLE_SQL["decontaminate"] = SQL_DECONTAMINATE

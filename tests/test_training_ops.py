@@ -385,3 +385,48 @@ def test_multimodal_decoder_injection_seam(spark):
         extract_features(media, decoder=123)
     with pytest.raises(ValueError):
         resize_images(media, 8, 8, decoder=object())
+
+
+def test_pii_scan_and_redact(spark):
+    from import_spark.operators.textops import pii_redact, pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@mail.example.org or 10.1.2.3"),
+            (2, "ssn 123-45-6789 and phone +1 (555) 010-9999"),
+            (3, "plain text with the year 2020"),
+        ],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert s[1].n_email == 1 and s[1].n_ipv4 == 1 and s[1].n_phone == 0
+    # the SSN also matches the looser phone shape — counts are per-pattern
+    assert s[2].n_ssn == 1 and s[2].n_phone == 2 and s[2].n_email == 0
+    assert s[3].n_pii == 0
+
+    r = {x.doc_id: x.text for x in pii_redact(docs).collect()}
+    assert r[1] == "mail me at <EMAIL> or <IP>"
+    # SSN redacted BEFORE the phone pattern can eat it
+    assert r[2] == "ssn <SSN> and phone <PHONE>"
+    assert r[3] == "plain text with the year 2020"
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from import_spark.operators.textops import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix THE QUICK Brown Fox Jumps over something"),  # 5-gram hit (case-folded)
+            (2, "the quick brown cat sleeps all day long here"),  # no shared 5-gram
+            (3, "quick brown fox jumps over the lazy dog indeed"),  # multiple hits
+            (4, "short text"),  # fewer than n tokens
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hits for r in decontaminate(docs, bench, n=5).collect()}
+    assert 1 in hits and 3 in hits and 2 not in hits and 4 not in hits
+    assert hits[3] > hits[1] >= 1
