@@ -47,12 +47,12 @@ TYPE_STAT_VAR_PEER_GROUP = "StatVarPeerGroup"
 _STRIP = lambda c: F.regexp_replace(F.regexp_replace(c, r"^\s+", ""), r"\s+$", "")  # noqa: E731
 
 
-def _with_ord(triples: DataFrame, order_col: str | None):
+def _with_ord(triples: DataFrame, order_col: str | None) -> DataFrame:
     if order_col is not None:
-        return triples.withColumn("_ord", F.col(order_col).cast("long")), True
+        return triples.withColumn("_ord", F.col(order_col).cast("long"))
     # fall back to arrival order within the plan; deterministic for a
     # single-file scan / createDataFrame, which is the artifact shape
-    return triples.withColumn("_ord", F.monotonically_increasing_id()), False
+    return triples.withColumn("_ord", F.monotonically_increasing_id())
 
 
 def subjects_of_type(triples: DataFrame, type_name: str) -> DataFrame:
@@ -91,7 +91,7 @@ def nl_sentences(triples: DataFrame, order_col: str | None = None) -> DataFrame:
     values in input order joined with ';'; else the LAST name value;
     empty results dropped (nl.py:59-63 skips and warns).
     """
-    t, _ = _with_ord(triples, order_col)
+    t = _with_ord(triples, order_col)
     p = F.col("predicate")
     sd_struct = F.when(
         p == "searchDescription",
@@ -128,8 +128,13 @@ def _csv_field(v: str) -> str:
 
 def sentences_csv_text(sentences: DataFrame) -> str:
     """Bit-exact ``sentences.csv`` body (header + rows, trailing
-    newline), matching the golden files byte for byte."""
+    newline), matching the golden files byte for byte. An empty
+    sentence set yields just ``"\\n"`` — the reference builds
+    ``pd.DataFrame([])`` (no columns) and ``to_csv(index=False)``
+    emits no header for it."""
     rows = sentences.collect()
+    if not rows:
+        return "\n"
     out = ["dcid,sentence"]
     for r in rows:
         out.append(f"{_csv_field(r['dcid'])},{_csv_field(r['sentence'])}")
@@ -170,7 +175,7 @@ def topic_cache_nodes(triples: DataFrame, order_col: str | None = None) -> DataF
     (subject_id, _first, types, names, relevant_vars, members) with
     every list in triple order and list-valued triples ("a, b") split
     on ',' and stripped."""
-    t, _ = _with_ord(triples, order_col)
+    t = _with_ord(triples, order_col)
     p = F.col("predicate")
 
     def ordered_vals(item_expr):
@@ -235,17 +240,43 @@ def write_nl_outputs(
     """Materialize the reference's NL artifact layout under ``nl_dir``:
     sentences.csv, embeddings/custom_catalog.yaml and (optionally)
     custom_dc_topic_cache.json — with the same caller-side type
-    filtering as runner.py:812-830 (sentences: SV + Topic subjects;
-    topic cache: Topic + StatVarPeerGroup subjects, only when Topic
-    triples exist)."""
+    filtering AND type ordering as runner.py:812-830: the Runner
+    concatenates ``topic_triples + sv_triples`` (and ``topic_triples +
+    sv_peer_group_triples`` for the cache), so Topic subjects come
+    FIRST in the artifacts regardless of the subjects' interleaving in
+    the source triple stream; within a type group the original order
+    is kept."""
     import os
 
+    t = _with_ord(triples, order_col)
+
+    def _type_ordered(type_names: list[str]) -> tuple[DataFrame, str]:
+        """Runner-shaped concat: group triples by subject type in the
+        given order, preserving source order within each group (one
+        composite order column — type rank then original _ord)."""
+        from pyspark.sql.window import Window
+
+        parts = None
+        for rank, name in enumerate(type_names):
+            part = t.join(
+                subjects_of_type(t, name), "subject_id", "left_semi"
+            ).withColumn("_type_rank", F.lit(rank).cast("long"))
+            parts = part if parts is None else parts.unionByName(part)
+        # row_number over (type rank, source order) — robust to any
+        # _ord magnitude (monotonically_increasing_id uses high bits);
+        # the unpartitioned window is fine on this dimension-sized set
+        out = parts.withColumn(
+            "_runner_ord",
+            F.row_number()
+            .over(Window.orderBy("_type_rank", "_ord"))
+            .cast("long"),
+        )
+        return out, "_runner_ord"
+
     os.makedirs(os.path.join(nl_dir, "embeddings"), exist_ok=True)
-    sent_triples = only_subject_types(
-        triples, [TYPE_STATISTICAL_VARIABLE, TYPE_TOPIC]
-    )
+    sent_triples, sent_ord = _type_ordered([TYPE_TOPIC, TYPE_STATISTICAL_VARIABLE])
     with open(os.path.join(nl_dir, "sentences.csv"), "w") as f:
-        f.write(sentences_csv_text(nl_sentences(sent_triples, order_col)))
+        f.write(sentences_csv_text(nl_sentences(sent_triples, sent_ord)))
     emb_path = os.path.join(nl_dir, "embeddings", "embeddings.csv")
     with open(os.path.join(nl_dir, "embeddings", "custom_catalog.yaml"), "w") as f:
         f.write(custom_catalog_yaml(nl_dir, emb_path))
@@ -254,8 +285,8 @@ def write_nl_outputs(
             subjects_of_type(triples, TYPE_TOPIC).limit(1).count() > 0
         )
         if has_topics:
-            cache_triples = only_subject_types(
-                triples, [TYPE_TOPIC, TYPE_STAT_VAR_PEER_GROUP]
+            cache_triples, cache_ord = _type_ordered(
+                [TYPE_TOPIC, TYPE_STAT_VAR_PEER_GROUP]
             )
             with open(os.path.join(nl_dir, "custom_dc_topic_cache.json"), "w") as f:
-                f.write(topic_cache_json(cache_triples, order_col))
+                f.write(topic_cache_json(cache_triples, cache_ord))

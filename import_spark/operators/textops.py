@@ -275,15 +275,20 @@ def decontaminate(
 
     Scale shape: the benchmark n-gram dictionary is broadcast (eval
     sets are tiny next to a training corpus); the corpus side explodes
-    to per-doc DISTINCT n-grams (one narrow projection — at 100 TB the
-    explode streams, nothing wide is materialized) and the hit count is
-    one partial-aggregated groupBy on the (rare) matches."""
+    to per-doc n-grams (one narrow projection — the explode streams
+    straight into the broadcast join, nothing wide is materialized or
+    shuffled) and only the RARE matching rows reach the distinct +
+    groupBy. Deduping after the join is exact: the dictionary is
+    already distinct, so the join multiplies nothing — it only keeps
+    repeated in-document occurrences, which the post-join distinct
+    collapses."""
     bench = benchmark_ngrams(benchmark, n, text_col)
     doc_grams = docs.select(
         F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
-    ).distinct()
+    )
     return (
         doc_grams.join(F.broadcast(bench), "gram")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )

@@ -233,6 +233,17 @@ def run_pipeline(
 ) -> PipelineResult:
     m = _Metrics(run_id)
     link_strategy = _resolve_link_strategy(dcid_dict, link_strategy)
+    # resolve the fused driver dict UP FRONT so the recorded strategy is
+    # the one that actually runs: an explicit "fused" request over the
+    # driver budget degrades to the join path here, not mid-plan
+    dmap = None
+    if link_strategy == "fused":
+        from import_spark.operators.link import DictionaryOverBudget
+
+        try:
+            dmap = dcid_map_from_df(dcid_dict)
+        except DictionaryOverBudget:
+            link_strategy = _join_strategy_for(dcid_dict)
     m.add("link", f"strategy_{link_strategy}", 1)
     # per-partition lineage lands next to the checkpoint (or, without
     # one, the output) — one (run_id, stage)-partitioned parquet table
@@ -282,7 +293,9 @@ def run_pipeline(
             # mixed-depth partition dirs that break discovery.
             if os.path.exists(snap):
                 shutil.rmtree(snap, ignore_errors=True)
-            linked_plan = _with_cls(_link_plan(transcripts, dcid_dict, link_strategy))
+            linked_plan = _with_cls(
+                _link_plan(transcripts, dcid_dict, link_strategy, dmap=dmap)
+            )
             (
                 linked_plan.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -311,14 +324,6 @@ def run_pipeline(
         # cores on a box (and at 100 TB the fat intermediate could
         # never be cached at all; persisting small side-outputs and
         # recomputing narrow lineage is the only design that survives).
-        dmap = None
-        if link_strategy == "fused":
-            from import_spark.operators.link import DictionaryOverBudget
-
-            try:
-                dmap = dcid_map_from_df(dcid_dict)
-            except DictionaryOverBudget:
-                link_strategy = _join_strategy_for(dcid_dict)
         full = _with_cls(_link_plan(transcripts, dcid_dict, link_strategy, dmap=dmap))
         linked = None
         narrow = (

@@ -135,3 +135,40 @@ def test_kg_fused_request_degrades_to_join_over_budget(spark, monkeypatch):
         for r in run_pipeline(spark, tr, d, link_strategy="fused").triples.collect()
     }
     assert got == want
+
+
+def test_dict_df_skips_falsy_dcids_like_the_closure_walk(spark, monkeypatch):
+    """_place_dcid skips empty/null dict hits (`if hit:`) and keeps
+    walking lower-priority props; the join path must do the same — an
+    empty dcid on the higher-priority external id must NOT shadow a
+    real lower-priority hit, and must not emit an empty dcid."""
+    nodes = _nodes(
+        spark,
+        [
+            ("P1", "typeOf", "RESOLVED_REF", "City"),
+            ("P1", "isoCode", "TEXT", "US"),       # higher priority, dirty ('')
+            ("P1", "wikidataId", "TEXT", "Q30"),   # lower priority, real
+            ("P2", "typeOf", "RESOLVED_REF", "City"),
+            ("P2", "isoCode", "TEXT", "FR"),       # dirty (''), no other id
+        ],
+    )
+    dirty = {
+        ("isoCode", "US"): "",
+        ("wikidataId", "Q30"): "country/USA",
+        ("isoCode", "FR"): "",
+    }
+    from import_spark.operators.mcf_resolver import resolve_graph
+
+    want = {
+        (r.node_id, r.prop, r.value)
+        for r in resolve_graph(nodes, dcid_dict=dirty).resolved.collect()
+    }
+    dict_df = _dict_df(spark, [(p, e, d) for (p, e), d in dirty.items()])
+    got = {
+        (r.node_id, r.prop, r.value)
+        for r in resolve_graph(nodes, dict_df=dict_df).resolved.collect()
+    }
+    assert got == want
+    assert ("P1", "dcid", "country/USA") in got       # lower-priority real hit
+    assert ("P2", "dcid", "iso/FR") in got            # prefix fallback
+    assert not any(v == "" for n, p, v in got if p == "dcid")

@@ -60,20 +60,59 @@ def test_topic_cache_golden(spark, name):
 
 
 def test_write_nl_outputs_layout(spark, tmp_path):
-    """Runner-shaped end-to-end: type filtering inside write_nl_outputs
-    (sentences over SV+Topic, cache over Topic+SVPG) reproduces the
-    same goldens through the file layout."""
+    """Runner-shaped end-to-end: type filtering AND type ordering
+    (runner.py:815-829 concatenates topic_triples + sv_triples, so
+    Topic subjects come FIRST even though the fixture lists SVs first)
+    reproduce the golden CONTENT with the runner's row order."""
     t = _triples(spark, "sv_and_topic_triples")
     out = str(tmp_path / "nl")
     write_nl_outputs(t, out, order_col="_idx")
     name = "sv_and_topic_triples"
+    lines = _golden(name, "sentences.csv").splitlines()
+    header, rows = lines[0], lines[1:]
+    runner_ordered = (
+        [header]
+        + [r for r in rows if r.startswith("topic_")]
+        + [r for r in rows if r.startswith("sv_")]
+    )
     with open(os.path.join(out, "sentences.csv")) as f:
-        assert f.read() == _golden(name, "sentences.csv")
+        assert f.read() == "\n".join(runner_ordered) + "\n"
+    # cache golden is already Topic-then-SVPG ordered — byte-exact
     with open(os.path.join(out, "custom_dc_topic_cache.json")) as f:
         assert f.read() == _golden(name, "custom_dc_topic_cache.json")
     with open(os.path.join(out, "embeddings", "custom_catalog.yaml")) as f:
         got = f.read().replace(out, FAKE)
         assert got == _golden(name, "custom_catalog.yaml")
+
+
+def test_write_nl_outputs_topic_first_even_when_interleaved(spark, tmp_path):
+    """An SV appearing before any Topic in the triple stream must still
+    land AFTER every Topic row (the Runner's topic+sv concat)."""
+    rows = [
+        ("sv1", "typeOf", "StatisticalVariable", "", 0),
+        ("sv1", "name", "", "SV one", 1),
+        ("top1", "typeOf", "Topic", "", 2),
+        ("top1", "name", "", "Topic one", 3),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subject_id string, predicate string, object_id string, object_value string, _idx long",
+    )
+    out = str(tmp_path / "nl2")
+    write_nl_outputs(t, out, order_col="_idx")
+    with open(os.path.join(out, "sentences.csv")) as f:
+        assert f.read() == "dcid,sentence\ntop1,Topic one\nsv1,SV one\n"
+
+
+def test_sentences_csv_empty_no_header(spark):
+    """pandas to_csv of an empty (column-less) frame emits just a
+    newline — the empty sentence set must match it."""
+    from import_spark.operators.nl_sentences import nl_sentences, sentences_csv_text
+
+    t = spark.createDataFrame(
+        [], "subject_id string, predicate string, object_id string, object_value string, _idx long"
+    )
+    assert sentences_csv_text(nl_sentences(t, order_col="_idx")) == "\n"
 
 
 def test_name_last_wins_and_empty_skip(spark):
