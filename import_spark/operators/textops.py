@@ -292,3 +292,42 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+# ------------------------------------------------ deterministic sampling
+
+def _hex_threshold(fraction: float) -> str:
+    """First-8-hex-chars threshold for ``fraction`` of the md5 space
+    (lexicographic compare of lowercase hex == numeric compare)."""
+    if fraction >= 1.0:
+        return "g"  # above every hex digit — keeps everything
+    return format(int(fraction * 0x1_0000_0000), "08x")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    salt: str = "",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling for domain mixing: keep a row
+    iff the first 8 hex chars of ``md5(stratum|id|salt)`` fall under the
+    stratum's fraction of the hash space.
+
+    Unlike ``DataFrame.sample``/``sampleBy`` (seeded per-partition RNG:
+    the kept SET changes with partitioning and retries), membership here
+    is a pure function of (stratum, id, salt) — re-runs, resumes and
+    different cluster layouts keep EXACTLY the same rows, and the salt
+    gives independent redraws. Native md5/substring comparison, zero
+    shuffle, portable to any engine with md5 (the SQL oracle twin runs
+    the same expression)."""
+    key = F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"), F.lit(salt))
+    bucket = F.substring(F.md5(key), 1, 8)
+    thr = F.lit(_hex_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(_hex_threshold(frac))
+        ).otherwise(thr)
+    return docs.filter(bucket < thr)

@@ -4526,3 +4526,35 @@ QUERIES["decontaminate"] = q_decontaminate
 ORACLE_SQL["pii_scan"] = _sql_pii_scan()
 ORACLE_SQL["pii_redact"] = _sql_pii_redact()
 ORACLE_SQL["decontaminate"] = SQL_DECONTAMINATE
+
+
+# ---------------- deterministic stratified sampling (domain mixing) ----------------
+
+
+def q_stratified_sample(spark, sf):
+    """Seeded deterministic per-stratum sampling (textops.py
+    stratified_sample): membership is a pure function of
+    (source, doc_id, salt) — identical keep-sets across re-runs,
+    resumes and partitionings, unlike sample()/sampleBy()'s
+    per-partition RNG. src0 keeps 80%, src1 30%, others 50%."""
+    from import_spark.operators.textops import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(
+        d, {"src0": 0.8, "src1": 0.3}, salt="mix1", default_fraction=0.5
+    ).select("doc_id", "source")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+WHERE substring(md5(source || '|' || CAST(doc_id AS VARCHAR) || '|' || 'mix1'), 1, 8)
+      < CASE source
+          WHEN 'src0' THEN 'cccccccc'
+          WHEN 'src1' THEN '4ccccccc'
+          ELSE '80000000'
+        END
+"""
+
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLE_SQL["stratified_sample"] = SQL_STRATIFIED_SAMPLE

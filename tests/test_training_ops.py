@@ -430,3 +430,23 @@ def test_decontaminate_ngram_overlap(spark):
     hits = {r.doc_id: r.n_hits for r in decontaminate(docs, bench, n=5).collect()}
     assert 1 in hits and 3 in hits and 2 not in hits and 4 not in hits
     assert hits[3] > hits[1] >= 1
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    """Membership is a pure function of (stratum, id, salt): the same
+    keep-set across repartitionings; different salts redraw; fractions
+    0 and 1 are exact."""
+    from import_spark.operators.textops import stratified_sample
+
+    rows = [(i, f"s{i % 3}", "x") for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    fr = {"s0": 1.0, "s1": 0.0, "s2": 0.5}
+    kept1 = {r.doc_id for r in stratified_sample(d, fr).collect()}
+    kept2 = {r.doc_id for r in stratified_sample(d.repartition(7), fr).collect()}
+    assert kept1 == kept2
+    assert {i for i in kept1 if i % 3 == 0} == {i for i in range(300) if i % 3 == 0}
+    assert not any(i % 3 == 1 for i in kept1)
+    n_half = sum(1 for i in kept1 if i % 3 == 2)
+    assert 25 <= n_half <= 75  # ~50 of 100, loose md5-uniformity bound
+    other = {r.doc_id for r in stratified_sample(d, fr, salt="other").collect()}
+    assert other != kept1  # independent redraw
