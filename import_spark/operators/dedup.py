@@ -314,6 +314,12 @@ def embedding_near_dup_pairs_exact(
     unit = mat / norms[:, None]
     sc = emb.sparkSession.sparkContext
     b_ids, b_unit = sc.broadcast(ids), sc.broadcast(unit)
+    # pre-round candidate gate: round(c,4) >= t  ⟺  floor(c*1e4+0.5) >= t*1e4
+    # ⟸ (with slack for float error) c >= t - 0.5e-4 - slack. Candidates are
+    # selected with the cheap raw comparison; the exact round-half-up value is
+    # computed only for the surviving ~0.1% of entries, so the full n_block×n
+    # matrix never pays the floor/multiply passes.
+    pre_thr = threshold - 0.5e-4 - 1e-9
 
     def _block_pairs(batches):
         all_ids, all_unit = b_ids.value, b_unit.value
@@ -324,16 +330,27 @@ def embedding_near_dup_pairs_exact(
             qn = np.linalg.norm(q, axis=1)
             qn[qn == 0.0] = 1.0
             cos = (q / qn[:, None]) @ all_unit.T
-            cos = np.floor(cos * 1e4 + 0.5) / 1e4  # round-half-up like F.round
             qids = pdf[id_col].to_numpy(dtype=id_dtype)
-            bi, bj = np.nonzero((cos >= threshold) & (qids[:, None] < all_ids[None, :]))
-            if len(bi):
+            bi, bj = np.nonzero(cos >= pre_thr)
+            if not len(bi):
+                continue
+            keep = qids[bi] < all_ids[bj]
+            bi, bj = bi[keep], bj[keep]
+            cand = np.floor(cos[bi, bj] * 1e4 + 0.5) / 1e4  # round-half-up like F.round
+            hit = cand >= threshold
+            if hit.any():
                 yield pd.DataFrame(
-                    {"a": qids[bi], "b": all_ids[bj], "cosine": cos[bi, bj]}
+                    {"a": qids[bi[hit]], "b": all_ids[bj[hit]], "cosine": cand[hit]}
                 )
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        _block_pairs, schema=f"a {id_type}, b {id_type}, cosine double"
+    # the input is typically a handful of scan partitions; spread the O(n²)
+    # block work over every core (each task multiplies its id block against
+    # the broadcast corpus — guide §2: the single-task matmul was the wall)
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    return (
+        emb.select(id_col, vec_col)
+        .repartition(n_part)
+        .mapInPandas(_block_pairs, schema=f"a {id_type}, b {id_type}, cosine double")
     )
 
 

@@ -29,7 +29,7 @@ def value_hash(pdf) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
     import __spark_entry__ as entrymod
     from import_spark.session import get_spark
 
@@ -40,6 +40,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
 
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
+    if only:
+        names = set(only.split(","))
+        qs = {n: f for n, f in qs.items() if n in names}
     failures = 0
     for name, fn in qs.items():
         try:
