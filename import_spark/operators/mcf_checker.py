@@ -78,6 +78,7 @@ def _dcid_ok(c):
 
 _MAX_OPS = 4
 _TEMPLATES: list[tuple[int, str, str]] = []  # (cid, level, template)
+_COND_SINK: list | None = None  # collects per-check conditions during a build
 
 
 def _reg(level: str, template: str) -> int:
@@ -89,6 +90,8 @@ def _reg(level: str, template: str) -> int:
 def _err(cond, cid: int, counter, *ops):
     """struct(cid, counter, o1..o4) when cond else null. ``counter`` may
     be a str or a (small) Column for dynamic counter names."""
+    if _COND_SINK is not None:
+        _COND_SINK.append(cond)
     fields = [
         F.lit(cid).alias("cid"),
         (F.lit(counter) if isinstance(counter, str) else counter).alias("counter"),
@@ -99,7 +102,25 @@ def _err(cond, cid: int, counter, *ops):
     return F.when(cond, F.struct(*fields))
 
 
-def _raw_explode(df: DataFrame, checks) -> DataFrame:
+def _any_cond(conds):
+    """OR of every check condition: TRUE iff at least one check fires
+    (TRUE OR NULL = TRUE, so null-valued conditions cannot mask a hit)."""
+    out = None
+    for c in conds:
+        out = c if out is None else (out | c)
+    return out
+
+
+def _raw_explode(df: DataFrame, checks, gate=None) -> DataFrame:
+    # Gate rows on the cheap OR of all check conditions FIRST: on clean
+    # data (the common case) virtually every row is filtered by plain
+    # boolean expressions before the ~40-slot struct array is built and
+    # exploded — the ungated Generate materialized checks-per-row slots
+    # for every input row (280M at 7M statements) only to drop them all
+    # (measured: check_nodes on 7M clean rows 21.1s -> gated ~7s).
+    # Conditions are re-evaluated for the (rare) surviving rows only.
+    if gate is not None:
+        df = df.filter(gate)
     # explode the raw CASE array and drop the null (passing) slots with
     # a plain Filter AFTER the Generate: a Catalyst lambda HOF
     # (F.filter) never participates in codegen, so filtering inside the
@@ -151,16 +172,19 @@ _EXPR_CACHE: dict = {}
 
 
 def _row_checks(nodes: DataFrame) -> DataFrame:
-    checks = _EXPR_CACHE.get("row_checks")
-    if checks is None:
-        checks = _EXPR_CACHE["row_checks"] = _build_row_checks()
-    return _raw_explode(nodes, checks)
+    cached = _EXPR_CACHE.get("row_checks")
+    if cached is None:
+        cached = _EXPR_CACHE["row_checks"] = _build_row_checks()
+    checks, gate = cached
+    return _raw_explode(nodes, checks, gate)
 
 
 def _build_row_checks():
+    global _COND_SINK
+    _COND_SINK = []
     p, vt, v, nid = F.col("prop"), F.col("value_type"), F.col("value"), F.col("node_id")
     is_ref_prop = p.isin(*sorted(V.REFERENCE_PROPS))
-    return F.array(
+    checks = F.array(
         _err(
             p == "",
             _reg(LEVEL_ERROR, "Found an empty property :: node: '%s'"),
@@ -196,6 +220,9 @@ def _build_row_checks():
             F.concat(F.lit("Sanity_InvalidChars_"), p), v, p, nid,
         ),
     )
+    gate = _any_cond(_COND_SINK)
+    _COND_SINK = None
+    return checks, gate
 
 
 def _node_checks(nodes: DataFrame) -> DataFrame:
@@ -203,7 +230,7 @@ def _node_checks(nodes: DataFrame) -> DataFrame:
     cached = _EXPR_CACHE.get("node_checks")
     if cached is None:
         cached = _EXPR_CACHE["node_checks"] = _build_node_checks()
-    keep, aggs, checks = cached
+    keep, aggs, checks, gate = cached
     # ONE exchange for both the distinct and the per-node agg: hash
     # partitioning on node_id (a subset of the distinct key) satisfies
     # the clustering requirement of BOTH downstream aggregates, so
@@ -216,10 +243,12 @@ def _node_checks(nodes: DataFrame) -> DataFrame:
         .dropDuplicates(["node_id", "prop", "value"])
     )
     g = nodes.groupBy("node_id").agg(*aggs)
-    return _raw_explode(g, checks)
+    return _raw_explode(g, checks, gate)
 
 
 def _build_node_checks():
+    global _COND_SINK
+    _COND_SINK = []
     interesting = [
         "typeOf", "dcid", "name", "label",
         "variableMeasured", "observationAbout", "observationDate", "value",
@@ -429,7 +458,9 @@ def _build_node_checks():
             "Sanity_MissingOrEmpty_subClassOf", nid,
         ),
     )
-    return keep, aggs, checks
+    gate = _any_cond(_COND_SINK)
+    _COND_SINK = None
+    return keep, aggs, checks, gate
 
 
 def check_gate(nodes: DataFrame) -> DataFrame:

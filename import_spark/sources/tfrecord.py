@@ -62,26 +62,102 @@ def masked_crc32c(data: bytes) -> int:
     return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
 
 
+# ---- vectorized masked-crc32c across records (guide §4.2) ------------------
+#
+# CRC is sequential WITHIN a message but records are short (tens of bytes),
+# so vectorize ACROSS records: one table-lookup pass per byte POSITION over
+# an (N, Lmax) uint8 matrix. The per-byte pure-Python loop cost ~1 µs/byte —
+# 40+ s for 1M framed records — where this runs the same math as ~Lmax numpy
+# passes over N-element vectors.
+
+_CRC_TABLE_NP = None
+
+
+def _crc_table_np():
+    global _CRC_TABLE_NP
+    if _CRC_TABLE_NP is None:
+        import numpy as np
+
+        _CRC_TABLE_NP = np.asarray(_crc_table(), dtype=np.uint32)
+    return _CRC_TABLE_NP
+
+
+def _masked_crc32c_rows(mat, lens):
+    """Masked crc32c of each row of ``mat`` (uint8, shape (N, Lmax)),
+    where row i's message is its first ``lens[i]`` bytes. Returns a
+    uint32 array of N masked crcs (bit-identical to masked_crc32c)."""
+    import numpy as np
+
+    tbl = _crc_table_np()
+    n, lmax = mat.shape
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    lmin = int(lens.min()) if n else 0
+    for j in range(lmax):
+        if j < lmin:  # every record still active — skip the mask
+            crc = tbl[(crc ^ mat[:, j]) & 0xFF] ^ (crc >> np.uint32(8))
+        else:
+            active = lens > j
+            c = crc[active]
+            crc[active] = tbl[(c ^ mat[active, j]) & 0xFF] ^ (c >> np.uint32(8))
+    crc ^= np.uint32(0xFFFFFFFF)
+    return ((crc >> np.uint32(15)) | (crc << np.uint32(17))) + np.uint32(0xA282EAD8)
+
+
+def _pack_rows(payloads: list[bytes]):
+    """list of byte strings → ((N, Lmax) uint8 matrix, int64 lens)."""
+    import numpy as np
+
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+    mat = np.zeros((len(payloads), int(lens.max()) if len(lens) else 0), dtype=np.uint8)
+    for i, p in enumerate(payloads):
+        mat[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    return mat, lens
+
+
 def split_tfrecords(blob: bytes, verify: bool = False) -> list[bytes]:
     """One file's bytes → list of record payloads."""
+    import numpy as np
+
     if blob[:2] == b"\x1f\x8b":  # gzip member
         blob = gzip.decompress(blob)
-    out = []
+    offs: list[int] = []
+    lens: list[int] = []
     pos, n = 0, len(blob)
+    unpack = struct.unpack_from
     while pos + 12 <= n:
-        (length,) = struct.unpack_from("<Q", blob, pos)
-        if verify:
-            (lcrc,) = struct.unpack_from("<I", blob, pos + 8)
-            if masked_crc32c(blob[pos : pos + 8]) != lcrc:
-                raise ValueError(f"bad length crc at offset {pos}")
-        start = pos + 12
-        payload = blob[start : start + length]
-        if verify:
-            (dcrc,) = struct.unpack_from("<I", blob, start + length)
-            if masked_crc32c(payload) != dcrc:
-                raise ValueError(f"bad data crc at offset {pos}")
-        out.append(payload)
-        pos = start + length + 4
+        (length,) = unpack("<Q", blob, pos)
+        offs.append(pos)
+        lens.append(length)
+        pos += 16 + length
+    out = [blob[o + 12 : o + 12 + ln] for o, ln in zip(offs, lens)]
+    if verify and offs:
+        a = np.frombuffer(blob, dtype=np.uint8)
+        po = np.asarray(offs, dtype=np.int64)
+        pl = np.asarray(lens, dtype=np.int64)
+
+        def u32_at(idx):
+            return (
+                a[idx].astype(np.uint32)
+                | (a[idx + 1].astype(np.uint32) << np.uint32(8))
+                | (a[idx + 2].astype(np.uint32) << np.uint32(16))
+                | (a[idx + 3].astype(np.uint32) << np.uint32(24))
+            )
+
+        headers = pl.astype("<u8").view(np.uint8).reshape(-1, 8)
+        bad = np.nonzero(
+            _masked_crc32c_rows(headers, np.full(len(po), 8, dtype=np.int64))
+            != u32_at(po + 8)
+        )[0]
+        if len(bad):
+            raise ValueError(f"bad length crc at offset {offs[bad[0]]}")
+        stored_d = u32_at(po + 12 + pl)
+        # chunk the gather so the (chunk, Lmax) index matrix stays small
+        chunk = 1 << 16
+        for s in range(0, len(po), chunk):
+            mat, cl = _pack_rows(out[s : s + chunk])
+            bad = np.nonzero(_masked_crc32c_rows(mat, cl) != stored_d[s : s + chunk])[0]
+            if len(bad):
+                raise ValueError(f"bad data crc at offset {offs[s + bad[0]]}")
     return out
 
 
@@ -95,6 +171,24 @@ def frame_tfrecord(payload: bytes) -> bytes:
     )
 
 
+def frame_tfrecords_batch(payloads: list[bytes]) -> bytes:
+    """Vectorized ``frame_tfrecord`` over a batch → one concatenated blob
+    (bit-identical framing; crcs computed by the across-records kernel)."""
+    import numpy as np
+
+    if not payloads:
+        return b""
+    mat, lens = _pack_rows(payloads)
+    headers = lens.astype("<u8").view(np.uint8).reshape(-1, 8)
+    hcrc = _masked_crc32c_rows(headers, np.full(len(payloads), 8, dtype=np.int64))
+    pcrc = _masked_crc32c_rows(mat, lens)
+    hb, hcb, pcb = headers.tobytes(), hcrc.astype("<u4").tobytes(), pcrc.astype("<u4").tobytes()
+    pieces: list[bytes] = []
+    for i, p in enumerate(payloads):
+        pieces += (hb[8 * i : 8 * i + 8], hcb[4 * i : 4 * i + 4], p, pcb[4 * i : 4 * i + 4])
+    return b"".join(pieces)
+
+
 TFREC_SCHEMA = T.StructType(
     [
         T.StructField("src_file", T.StringType(), False),
@@ -106,6 +200,11 @@ TFREC_SCHEMA = T.StructType(
 
 def read_tfrecords(spark: SparkSession, path: str, verify: bool = False) -> DataFrame:
     raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    # one task per FILE: the default scan packs many small files into one
+    # 128 MB split, serializing the decompress+split of the whole dataset
+    # on a single task (files are the parallelism unit, like the
+    # reference's Beam source)
+    raw = raw.repartition(spark.sparkContext.defaultParallelism, "path")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,9 +230,9 @@ def write_tfrecords(df: DataFrame, path: str, payload_col: str = "payload", comp
         buf = io.BytesIO()
         n = 0
         for pdf in batches:
-            for payload in pdf[payload_col]:
-                buf.write(frame_tfrecord(bytes(payload)))
-                n += 1
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            buf.write(frame_tfrecords_batch(payloads))
+            n += len(payloads)
         data = buf.getvalue()
         suffix = ".tfrecord.gz" if compress else ".tfrecord"
         if compress:
@@ -142,4 +241,12 @@ def write_tfrecords(df: DataFrame, path: str, payload_col: str = "payload", comp
             f.write(data)
         yield pd.DataFrame({"n": [n]})
 
-    df.select(payload_col).mapInPandas(write_part, schema="n long").agg(F.sum("n")).collect()
+    out = df.select(payload_col)
+    # frame+gzip are CPU-bound per task and one file is written per
+    # partition: widen narrow inputs (a small parquet scan yields 1-4
+    # partitions) so the compress and the downstream per-file scan both
+    # parallelize
+    par = out.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par)
+    out.mapInPandas(write_part, schema="n long").agg(F.sum("n")).collect()
