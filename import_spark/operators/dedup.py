@@ -51,8 +51,10 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     window transform: inlining the split expression into the per-window
     lambda makes Catalyst re-tokenize the text once per window position
     — O(words²) per document (measured 8.5s → 1s on 5k docs)."""
+    from import_spark.operators.skew import widen_narrow_input
+
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
-    t = df.select(F.col(id_col), toks.alias("_toks"))
+    t = widen_narrow_input(df).select(F.col(id_col), toks.alias("_toks"))
     n = F.size(F.col("_toks"))
     # 1-based window starts; docs shorter than k yield no shingles
     starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
@@ -206,7 +208,9 @@ def simhash(
     engines, which makes the whole tokenize→vote→pack pipeline
     verifiable against a DuckDB twin — xxhash64 has no DuckDB
     equivalent)."""
-    toks = df.select(
+    from import_spark.operators.skew import widen_narrow_input
+
+    toks = widen_narrow_input(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")

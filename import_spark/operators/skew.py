@@ -154,3 +154,21 @@ def _tag_hot(df: DataFrame, hot_df: DataFrame, keys: list[str]) -> DataFrame:
         c = F.col(f"_skew_l.{k}").eqNullSafe(F.col(f"_skew_r.{k}"))
         cond = c if cond is None else (cond & c)
     return d.join(h, cond, "left").select("_skew_l.*", F.col("_hot"))
+
+
+def widen_narrow_input(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Spread a NARROW scan over the cluster before per-row-expensive work.
+
+    Small/unsplittable inputs (a single-row-group parquet file, a gzip
+    text file) scan as 1-2 partitions, serializing everything downstream
+    of the scan on as many tasks (guide §2.5 "input skew": repartition
+    immediately after the read). Round-robin repartition up to
+    ``factor x defaultParallelism`` when the input has fewer partitions;
+    a wide input (the 100-TB case — thousands of splits) passes through
+    untouched, so the extra exchange exists exactly when it is cheap and
+    needed."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

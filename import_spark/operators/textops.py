@@ -58,6 +58,9 @@ _WORD_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+"
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + BPE-ish word-regex tokens + char count."""
+    from import_spark.operators.skew import widen_narrow_input
+
+    df = widen_narrow_input(df)
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
@@ -70,6 +73,9 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features + a composite score in [0, 1]:
     longer docs with normal punctuation/stopword density score higher."""
+    from import_spark.operators.skew import widen_narrow_input
+
+    df = widen_narrow_input(df)
     t = F.col(text_col)
     n = F.length(t)
     n_punct = n - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
@@ -122,6 +128,9 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         return texts.map(score)
 
     lang_udf = pandas_udf(_lang, "string")
+    from import_spark.operators.skew import widen_narrow_input
+
+    df = widen_narrow_input(df)
     return df.select(F.col(id_col), lang_udf(F.col(text_col)).alias("lang_pred"))
 
 
@@ -140,6 +149,9 @@ def repetition_stats(
     sorted array (longest equal-run), so the whole operator stays in
     one codegen'd scan — no explode→groupBy per document, which at
     100 TB would shuffle ~doc_len rows per doc for a per-row answer."""
+    from import_spark.operators.skew import widen_narrow_input
+
+    df = widen_narrow_input(df)
     lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
     dup_line = F.when(
         F.size(lines) > 0,
@@ -179,6 +191,9 @@ def repetition_stats(
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint over normalized text (lowercase, strip
     punctuation, collapse whitespace): md5 hex + xxhash64."""
+    from import_spark.operators.skew import widen_narrow_input
+
+    df = widen_narrow_input(df)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " "
@@ -212,6 +227,9 @@ def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     shuffle, zero Python. The pattern ORDER matters for redaction (an
     SSN also matches the phone shape; see :func:`pii_redact`) but scan
     counts are independent."""
+    from import_spark.operators.skew import widen_narrow_input
+
+    df = widen_narrow_input(df)
     cols = [
         F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
@@ -229,6 +247,9 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     long digit run inside an address must not be phone-redacted first)
     and SSN before phone (an SSN matches the looser phone shape).
     Native ``regexp_replace`` chain, zero shuffle."""
+    from import_spark.operators.skew import widen_narrow_input
+
+    df = widen_narrow_input(df)
     red = F.col(text_col)
     for _, pat, token in PII_PATTERNS:
         red = F.regexp_replace(red, pat, token)
@@ -282,8 +303,10 @@ def decontaminate(
     already distinct, so the join multiplies nothing — it only keeps
     repeated in-document occurrences, which the post-join distinct
     collapses."""
+    from import_spark.operators.skew import widen_narrow_input
+
     bench = benchmark_ngrams(benchmark, n, text_col)
-    doc_grams = docs.select(
+    doc_grams = widen_narrow_input(docs).select(
         F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
     )
     return (

@@ -23,7 +23,14 @@ def test_pii_scan_no_shuffle(spark):
     from import_spark.queries import QUERIES
 
     p = _plan(QUERIES["pii_scan"](spark, SF))
-    assert "Exchange" not in p  # pure per-row projection
+    # pure per-row projection: no KEY shuffle anywhere. The only
+    # Exchange allowed is the widen_narrow_input round-robin that
+    # spreads a 1-2-partition scan over the cluster (guide §2.5 input
+    # skew) — a wide input gets none.
+    import re
+
+    assert not re.search(r"Exchange (?!roundrobin)", p), p
+    assert "hashpartitioning" not in p
     assert "doc_id" in p and "text" in p
 
 
