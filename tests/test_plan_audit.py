@@ -29,7 +29,7 @@ def test_pii_scan_no_shuffle(spark):
     # skew) — a wide input gets none.
     import re
 
-    assert not re.search(r"Exchange (?!roundrobin)", p), p
+    assert not re.search(r"Exchange (?![Rr]ound[Rr]obin)", p), p
     assert "hashpartitioning" not in p
     assert "doc_id" in p and "text" in p
 
@@ -64,7 +64,11 @@ def test_token_stats_no_shuffle(spark):
     from import_spark.queries import QUERIES
 
     p = _plan(QUERIES["text_token_stats"](spark, SF))
-    assert "Exchange" not in p
+    # no KEY shuffle; only the widen_narrow_input round-robin is allowed
+    import re
+
+    assert not re.search(r"Exchange (?![Rr]ound[Rr]obin)", p), p
+    assert "hashpartitioning" not in p
 
 
 def test_no_cartesian_products(spark):
