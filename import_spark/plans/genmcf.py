@@ -219,6 +219,7 @@ def run_genmcf(
             mutated,
             assign_statvar_dcids=assign_statvar_dcids,
             dict_df=dict_df,
+            input_materialized=True,
         )
     else:
         res = resolve_graph(
@@ -226,6 +227,7 @@ def run_genmcf(
             assign_statvar_dcids=assign_statvar_dcids,
             dcid_dict=full_dict or None,
             force_distributed=force_distributed_resolve,
+            input_materialized=True,
         )
 
     # materialize the (small) error set ONCE: it feeds the report union,

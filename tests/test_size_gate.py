@@ -79,9 +79,9 @@ def test_resolve_graph_wide_rows_take_distributed_path(spark, monkeypatch):
     called = {}
     orig = mcf_resolver._resolve_graph_distributed
 
-    def spy(nodes, assign_statvar_dcids, dcid_dict=None):
+    def spy(nodes, assign_statvar_dcids, dcid_dict=None, **kw):
         called["distributed"] = True
-        return orig(nodes, assign_statvar_dcids, dcid_dict)
+        return orig(nodes, assign_statvar_dcids, dcid_dict, **kw)
 
     monkeypatch.setattr(mcf_resolver, "_resolve_graph_distributed", spy)
     # JVM-generated wide rows: 3k nodes x (typeOf, dcid, 300KB blob)
