@@ -155,6 +155,11 @@ def _finalize(raw: DataFrame) -> DataFrame:
 
 def check_nodes(nodes: DataFrame) -> DataFrame:
     """Run the sanity suite → error rows (node_id, level, counter, message)."""
+    from import_spark.operators.skew import widen_narrow_input
+
+    # a statement table exploded from a narrow scan would run the whole
+    # row-check pass on 1-4 tasks; wide inputs pass through untouched
+    nodes = widen_narrow_input(nodes)
     raw = _row_checks(nodes).unionByName(_node_checks(nodes))
     return _finalize(raw)
 

