@@ -126,9 +126,20 @@ def to_optimized_graph(obs: DataFrame) -> DataFrame:
             .otherwise(F.lit(0))
         )
 
-    series = df.groupBy(*KEY_COLS).agg(
-        F.collect_list(obs_struct).alias("_obs")
-    ).withColumn("_obs", F.array_sort("_obs", _by_date_dcid))
+    from import_spark.operators.skew import widen_narrow_input
+
+    # widen a narrow scan so the map-side partial grouping parallelizes,
+    # and spread the series over every core for the Python encode stage
+    # (AQE would coalesce the tiny post-shuffle partitions down to a
+    # handful, under-parallelizing the per-series protowire work)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    series = (
+        widen_narrow_input(df)
+        .groupBy(*KEY_COLS)
+        .agg(F.collect_list(obs_struct).alias("_obs"))
+        .repartition(par)
+        .withColumn("_obs", F.array_sort("_obs", _by_date_dcid))
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
