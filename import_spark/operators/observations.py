@@ -64,6 +64,9 @@ def import_wide_observations(
         r["name"]: r["sv_id"]
         for r in name_df.select("name", sanitize_sv_id(F.col("name"), sv_id_prefix).alias("sv_id")).collect()
     }
+    from import_spark.operators.skew import widen_narrow_input
+
+    df = widen_narrow_input(df)
     pairs = F.array(
         *[
             F.struct(

@@ -348,6 +348,10 @@ def read_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("ignoreTrailingWhiteSpace", True)
         .csv(path)
     )
+    # NOTE: no widening here — downstream callers derive row ids from
+    # FILE ORDER (the TmcfCsvParser contract; golden tests pin it), and
+    # a round-robin repartition would scramble it. The 1-task unescape
+    # is the price of the ordered single-file scan.
     def unescape(col):
         # commons-csv readEscape(): \n/\t/\r/\b/\f map to their control
         # chars; any other \<char> is the char itself; \\ is a backslash
