@@ -515,11 +515,19 @@ def statvar_collisions(nodes: DataFrame) -> DataFrame:
         nodes.join(sv_ids, "node_id", "left_semi")
         .groupBy("node_id")
         .agg(F.sort_array(F.collect_list(F.struct("prop", "value"))).alias("pvl"))
+        # AQE coalesces the small post-shuffle partitions to a handful;
+        # spread the Python derive stage over the cluster instead
+        .repartition(nodes.sparkSession.sparkContext.defaultParallelism)
     )
 
     def derive(batches):
+        from import_spark import vocabulary as _V
+        from import_spark.functions.dcids import statvar_key_string
+        from import_spark.functions.farmhash import long_id_batch
+
         for pdf in batches:
             out = []
+            keys = []
             for nid, pvl in zip(pdf["node_id"], pdf["pvl"]):
                 pvs: dict = {}
                 for d in pvl:  # sorted → first-wins pinned to min(value)
@@ -527,10 +535,16 @@ def statvar_collisions(nodes: DataFrame) -> DataFrame:
                 curated = pvs.get("dcid", "")
                 if not curated:
                     continue  # handled by the checker's missing-dcid rule
-                generated = statvar_dcid(pvs)
-                if not generated:
+                key = statvar_key_string(pvs)
+                if key is None:
                     continue  # malformed SV — the checker flags it
-                out.append([nid, curated, generated])
+                out.append([nid, curated, None])
+                keys.append(key)
+            if keys:
+                # one vectorized farmhash pass per Arrow batch — the
+                # per-node scalar long_id dominated this stage
+                for row, h in zip(out, long_id_batch(keys)):
+                    row[2] = _V.DC_NAMESPACE + h
             yield pd.DataFrame(out, columns=["node_id", "curated", "generated"])
 
     working_df = packed.mapInPandas(
